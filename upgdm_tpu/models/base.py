@@ -1,0 +1,105 @@
+"""Shared wrapper plumbing for the four diffusion model families.
+
+Each family wrapper pairs a set of Flax modules with:
+  - pure jittable functions (``loss_fn``, ``sample_fn``, ...) used by the
+    training loop, the batched MPV sweep, and the multi-chip paths;
+  - a thin stateful convenience API matching the reference model surface
+    (``training_step`` / ``evaluation_step`` / ``pretrain_f`` / ``pretrain_g``
+    / ``scaler_fit`` / ``scaler_transform`` / ``scaler_inverse_transform`` /
+    ``state_dict`` / ``load_state_dict``), so the evaluation facade and the
+    figure layer read identically to the reference
+    (e.g. NsDiff_model.py:99-268).
+
+RNG: wrappers own a root ``jax.random.key`` and derive per-call keys by fold-in
+of a monotone counter — fully deterministic given ``seed``.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.io import flatten_params, unflatten_params
+from ..utils.scalers import StandardScaler
+
+EPS = 10e-8
+
+
+class DiffusionWrapperBase:
+    scaler_axis = 0  # flat series; graph wrappers use (0, 1)
+
+    def __init__(self, net_param: dict, seed: int = 0):
+        self.net_param = dict(net_param)
+        self.dataset_nf = net_param["dataset_nf"]
+        self.windows = net_param["windows"]
+        self.pred_len = net_param["pred_len"]
+        self.scaler = net_param.get("scaler_type")
+        if self.scaler in (None, "None"):
+            self.scaler = None
+        self._scaler = StandardScaler(
+            mean=np.zeros(self.dataset_nf, np.float32),
+            std=np.ones(self.dataset_nf, np.float32),
+        )
+        self._root_key = jax.random.key(seed)
+        self._rng_counter = 0
+        self.params: Optional[dict] = None
+
+    # -- RNG ---------------------------------------------------------------
+    def next_key(self) -> jax.Array:
+        self._rng_counter += 1
+        return jax.random.fold_in(self._root_key, self._rng_counter)
+
+    # -- scaler (reference semantics: NsDiff_model.py:99-110) --------------
+    def scaler_fit(self, data):
+        self._scaler.fit(np.asarray(data), axis=self.scaler_axis)
+
+    def scaler_transform(self, data):
+        return self._scaler.transform(data)
+
+    def scaler_inverse_transform(self, data):
+        return self._scaler.inverse_transform(data)
+
+    @property
+    def scaler_mean(self):
+        return self._scaler.mean
+
+    @property
+    def scaler_std(self):
+        return self._scaler.std
+
+    # -- checkpoint surface -------------------------------------------------
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        flat = flatten_params(jax.tree.map(np.asarray, self.params))
+        flat["scaler_mean"] = np.asarray(self._scaler.mean)
+        flat["scaler_std"] = np.asarray(self._scaler.std)
+        return flat
+
+    def load_state_dict(self, flat: Dict[str, np.ndarray], strict: bool = True):
+        flat = dict(flat)
+        if "scaler_mean" in flat:
+            self._scaler.mean = np.asarray(flat.pop("scaler_mean"), np.float32)
+        if "scaler_std" in flat:
+            self._scaler.std = np.asarray(flat.pop("scaler_std"), np.float32)
+        tree = unflatten_params(flat)
+        if strict:
+            want = set(flatten_params(self.params))
+            got = set(flatten_params(tree))
+            if want != got:
+                missing = sorted(want - got)[:5]
+                extra = sorted(got - want)[:5]
+                raise ValueError(f"state_dict mismatch; missing={missing} extra={extra}")
+        self.params = jax.tree.map(jnp.asarray, tree)
+
+    # -- helpers ------------------------------------------------------------
+    @staticmethod
+    def antithetic_t(key, n: int, num_timesteps: int) -> jnp.ndarray:
+        """Antithetic timestep sampling (NsDiff_model.py:149-152)."""
+        t = jax.random.randint(key, (n // 2 + 1,), 0, num_timesteps)
+        return jnp.concatenate([t, num_timesteps - 1 - t], axis=0)[:n]
+
+    def trainable_mask(self, train_model_select: Optional[str]):
+        """Pytree mask (by top-level module) selecting optimised params."""
+        raise NotImplementedError

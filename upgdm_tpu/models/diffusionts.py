@@ -1,0 +1,312 @@
+"""DiffusionTS — x0-prediction diffusion with DDIM infill + Langevin correction.
+
+TPU-native rebuild of /root/reference/models/Diffusion_model/DiffusionTS/
+(DiffusionTS_model.py:9-109, DiffusionTS.py:35-407).  Design deltas:
+
+  - ``fast_sample_infill`` unrolls the *static* DDIM (time, time_next) pairs
+    inside one jitted program; the Langevin corrector's K inner steps are also
+    static per pair (K schedule by t, DiffusionTS.py:372-381), so the entire
+    conditional sampler — gradients-through-the-denoiser included — compiles to
+    a single device program.  The reference instead runs a host loop that
+    constructs a fresh ``torch.optim.Adagrad`` *every inner iteration*
+    (DiffusionTS.py:387), i.e. per-step state resets; we reproduce exactly that
+    update (g / (sqrt(g^2) + 1e-10)).
+  - The ensemble vmaps over sample keys (no host ``repeat`` tiling,
+    DiffusionTS_model.py:91-105).
+  - The Fourier training loss uses XLA's native FFT (DiffusionTS.py:249-256).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import diffusion as D
+from ..ops.schedules import ddim_time_pairs, diffusionts_schedule
+from .base import DiffusionWrapperBase
+from .diffusionts_net import DTSTransformer
+
+__all__ = ["DiffusionTSModel"]
+
+
+class DiffusionTSModel(DiffusionWrapperBase):
+    def __init__(self, net_param: dict, seed: int = 0, **_):
+        super().__init__(net_param, seed=seed)
+        p = self.net_param
+        self.seq_len = p.setdefault("seq_len", self.windows)
+        self.label_len = p.setdefault("label_len", self.windows // 2)
+        self.seq_length = self.windows + self.pred_len
+        self.n_z_samples = p.get("n_z_samples", 100)
+        self.parallel_sample = p.get("parallel_sample", min(10, self.n_z_samples))
+        self.sampling_timesteps = p.get("diffusion_steps", 100)
+        self.timesteps = p.get("timesteps", 100)
+        self.loss_type = p.get("loss_type", "l2")
+        self.eta = p.get("eta", 0.0)
+        self.use_ff = p.get("use_ff", True)
+        self.ff_weight = p.get("reg_weight") or math.sqrt(self.seq_length) / 5
+        self.infill_coef = p.get("infill_coef", 1e-1)
+        self.infill_lr = p.get("infill_learning_rate", 5e-2)
+
+        self.sched = diffusionts_schedule(p.get("beta_schedule", "cosine"), self.timesteps)
+        self.net = DTSTransformer(
+            n_feat=self.dataset_nf,
+            n_channel=self.seq_length,
+            n_layer_enc=p.get("n_layer_enc", 3),
+            n_layer_dec=p.get("n_layer_dec", 6),
+            n_embd=p.get("d_model", 64),
+            n_heads=p.get("n_heads", 4),
+            attn_pdrop=p.get("attn_pd", 0.0),
+            resid_pdrop=p.get("resid_pd", 0.0),
+            mlp_hidden_times=p.get("mlp_hidden_times", 4),
+            conv_kernel=p.get("kernel_size"),
+        )
+        # history-is-known mask (DiffusionTS_model.py:47-54)
+        self.gt_mask = np.concatenate(
+            [
+                np.ones((self.windows, self.dataset_nf), bool),
+                np.zeros((self.pred_len, self.dataset_nf), bool),
+            ],
+            axis=0,
+        )
+        self._init_params()
+
+    def _init_params(self):
+        x = jnp.zeros((1, self.seq_length, self.dataset_nf))
+        t = jnp.zeros((1,), jnp.int32)
+        self.params = {
+            "model": jax.jit(partial(self.net.init, deterministic=True))(
+                {"params": self.next_key()}, x, t
+            )["params"]
+        }
+
+    # ------------------------------------------------------------------
+    def _output(self, params, x, t, train=False, rngs=None):
+        trend, season = self.net.apply(
+            {"params": params["model"]}, x, t, deterministic=not train, rngs=rngs
+        )
+        return trend + season
+
+    def _elem_loss(self, a, b):
+        if self.loss_type == "l1":
+            return jnp.abs(a - b)
+        return (a - b) ** 2
+
+    def loss_fn(self, params, batch, key, select: Optional[str] = None, train: bool = True):
+        """_train_loss with target=x (DiffusionTS.py:239-266)."""
+        data = batch[:, : self.seq_length, :]
+        kd, kt, ke = jax.random.split(key, 3)
+        B = data.shape[0]
+        t = jax.random.randint(kt, (B,), 0, self.timesteps)
+        noise = jax.random.normal(ke, data.shape, data.dtype)
+        x = D.dts_q_sample(data, self.sched, t, noise)
+        rngs = {"dropout": kd} if train else None
+        model_out = self._output(params, x, t, train=train, rngs=rngs)
+        train_loss = self._elem_loss(model_out, data)
+        if self.use_ff:
+            fft1 = jnp.fft.fft(model_out, axis=1, norm="forward")
+            fft2 = jnp.fft.fft(data, axis=1, norm="forward")
+            fourier_loss = self._elem_loss(jnp.real(fft1), jnp.real(fft2)) + self._elem_loss(
+                jnp.imag(fft1), jnp.imag(fft2)
+            )
+            train_loss = train_loss + self.ff_weight * fourier_loss
+        per_sample = train_loss.reshape(B, -1).mean(axis=1)
+        w = jnp.asarray(self.sched.loss_weight)[t]
+        return jnp.mean(per_sample * w)
+
+    # ------------------------------------------------------------------
+    def _model_predictions(self, params, x, t_scalar, clip_x_start=True):
+        B = x.shape[0]
+        t = jnp.full((B,), t_scalar, jnp.int32)
+        x_start = self._output(params, x, t)
+        if clip_x_start:
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+        pred_noise = D.dts_predict_noise_from_start(x, self.sched, t, x_start)
+        return pred_noise, x_start
+
+    def _ddim_step_tables(self):
+        """Per-step constants of the DDIM chain as arrays for ``lax.scan``.
+
+        Returns (pairs, arrays) where arrays cover all but the final pair
+        (whose time_next < 0 means img = x_start, handled outside the scan).
+        The Langevin K schedule (DiffusionTS.py:372-381) becomes a branch
+        index + lr per step.
+        """
+        pairs = ddim_time_pairs(self.timesteps, self.sampling_timesteps)
+        acp = self.sched.alphas_cumprod.astype(np.float64)
+        T = self.timesteps
+        rows = []
+        for time, time_next in pairs[:-1]:
+            alpha, alpha_next = float(acp[time]), float(acp[time_next])
+            sigma = self.eta * ((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha)) ** 0.5
+            c = (1 - alpha_next - sigma**2) ** 0.5
+            if time < T * 0.05:
+                K, lr = 0, 0.0
+            elif time > T * 0.9:
+                K, lr = 3, self.infill_lr
+            elif time > T * 0.75:
+                K, lr = 2, self.infill_lr * 0.5
+            else:
+                K, lr = 1, self.infill_lr * 0.25
+            rows.append((time, sigma, c, alpha_next**0.5, K, lr))
+        arrays = {
+            "time": jnp.asarray([r[0] for r in rows], jnp.int32),
+            "sigma": jnp.asarray([r[1] for r in rows], jnp.float32),
+            "c": jnp.asarray([r[2] for r in rows], jnp.float32),
+            "sqrt_alpha_next": jnp.asarray([r[3] for r in rows], jnp.float32),
+            "k_id": jnp.asarray([r[4] for r in rows], jnp.int32),
+            "lr": jnp.asarray([r[5] for r in rows], jnp.float32),
+        }
+        return pairs, arrays
+
+    def _langevin_branches(self, params, target, partial_mask):
+        """Branch fns (K = 0..3) for ``lax.switch`` inside the scan body.
+
+        Each does K fresh-Adagrad gradient steps; the reference constructs a
+        new torch Adagrad *per inner iteration* (DiffusionTS.py:387), so the
+        accumulator state resets every step: update = lr*g/(sqrt(g^2)+1e-10).
+        """
+        coef = self.infill_coef
+
+        def loss(z, mean, sigma, t):
+            x_start = self._output(params, z, t)
+            sigma_mean = jnp.mean(sigma)
+            safe_sigma = jnp.where(sigma == 0, 1.0, sigma)
+            logp = jnp.where(
+                sigma_mean == 0,
+                coef * jnp.sum(jnp.mean((mean - z) ** 2, axis=0)),
+                coef * jnp.sum(jnp.mean((mean - z) ** 2 / safe_sigma, axis=0)),
+            )
+            diff = jnp.where(partial_mask, x_start - target, 0.0) ** 2
+            infill = jnp.where(
+                sigma_mean == 0,
+                jnp.sum(jnp.mean(diff, axis=0)),
+                jnp.sum(jnp.mean(diff / jnp.where(sigma_mean == 0, 1.0, sigma_mean), axis=0)),
+            )
+            return logp + infill
+
+        grad = jax.grad(loss)
+
+        def make_branch(K):
+            def branch(sample, mean, sigma, t, lr):
+                z = sample
+                for _ in range(K):
+                    g = grad(z, mean, sigma, t)
+                    z = z - lr * g / (jnp.sqrt(g * g) + 1e-10)
+                return jnp.where(partial_mask, sample, z)
+
+            return branch
+
+        return [make_branch(K) for K in range(4)]
+
+    def fast_sample_infill_fn(self, params, target, partial_mask, key):
+        """Conditional DDIM infill (DiffusionTS.py:277-310) as ONE lax.scan.
+
+        target: [B, T, F] with the unknown region zeroed; partial_mask: bool
+        [B, T, F] True where known.
+        """
+        pairs, tab = self._ddim_step_tables()
+        key, k0 = jax.random.split(key)
+        img = jax.random.normal(k0, target.shape, target.dtype)
+        B = target.shape[0]
+        branches = self._langevin_branches(params, target, partial_mask)
+
+        def body(carry, inp):
+            img, = carry
+            time, sigma, c, sqrt_an, k_id, lr, k = inp
+            kn, kl, kq = jax.random.split(k, 3)
+            t_b = jnp.full((B,), time, jnp.int32)
+            x_start = jnp.clip(self._output(params, img, t_b), -1.0, 1.0)
+            pred_noise = D.dts_predict_noise_from_start(img, self.sched, t_b, x_start)
+            pred_mean = x_start * sqrt_an + c * pred_noise
+            img = pred_mean + sigma * jax.random.normal(kn, img.shape, img.dtype)
+            img = jax.lax.switch(k_id, branches, img, pred_mean, sigma, t_b, lr)
+            target_t = D.dts_q_sample(
+                target, self.sched, t_b,
+                jax.random.normal(kq, target.shape, target.dtype),
+            )
+            img = jnp.where(partial_mask, target_t, img)
+            return (img,), None
+
+        n_scan = len(pairs) - 1
+        keys = jax.random.split(key, n_scan + 1)
+        xs = (
+            tab["time"], tab["sigma"], tab["c"], tab["sqrt_alpha_next"],
+            tab["k_id"], tab["lr"], keys[:n_scan],
+        )
+        (img,), _ = jax.lax.scan(body, (img,), xs)
+
+        # final pair: time_next < 0 -> img = x_start (DiffusionTS.py:291-293)
+        t_last = jnp.full((B,), pairs[-1][0], jnp.int32)
+        img = jnp.clip(self._output(params, img, t_last), -1.0, 1.0)
+        return jnp.where(partial_mask, target, img)
+
+    def sample_fn(self, params, batch_x, key, n_z_samples: Optional[int] = None):
+        """Ensemble of infilled futures: [B, pred_len, N, S]."""
+        S = n_z_samples or self.n_z_samples
+        B = batch_x.shape[0]
+        x = jnp.concatenate(
+            [batch_x, jnp.zeros((B, self.pred_len, self.dataset_nf), batch_x.dtype)], axis=1
+        )
+        mask = jnp.broadcast_to(jnp.asarray(self.gt_mask), x.shape)
+        target = x * mask
+
+        def one_sample(k):
+            return self.fast_sample_infill_fn(params, target, mask, k)
+
+        samples = jax.vmap(one_sample)(jax.random.split(key, S))  # [S, B, T, F]
+        samples = samples[:, :, -self.pred_len :, :]
+        return jnp.transpose(samples, (1, 2, 3, 0))
+
+    def generate_mts_fn(self, params, key, batch_size: int = 16):
+        """Unconditional generation (DiffusionTS.py:178-221), scanned DDIM."""
+        shape = (batch_size, self.seq_length, self.dataset_nf)
+        pairs, tab = self._ddim_step_tables()
+        key, k0 = jax.random.split(key)
+        img = jax.random.normal(k0, shape)
+
+        def body(carry, inp):
+            img, = carry
+            time, sigma, c, sqrt_an, k = inp
+            t_b = jnp.full((batch_size,), time, jnp.int32)
+            x_start = jnp.clip(self._output(params, img, t_b), -1.0, 1.0)
+            pred_noise = D.dts_predict_noise_from_start(img, self.sched, t_b, x_start)
+            img = x_start * sqrt_an + c * pred_noise + sigma * jax.random.normal(k, shape)
+            return (img,), None
+
+        n_scan = len(pairs) - 1
+        keys = jax.random.split(key, n_scan)
+        (img,), _ = jax.lax.scan(
+            body, (img,), (tab["time"], tab["sigma"], tab["c"], tab["sqrt_alpha_next"], keys)
+        )
+        t_last = jnp.full((batch_size,), pairs[-1][0], jnp.int32)
+        return jnp.clip(self._output(params, img, t_last), -1.0, 1.0)
+
+    def trainable_mask(self, select=None):
+        return {k: True for k in self.params}
+
+    # -- reference-surface API ------------------------------------------
+    def training_step(self, batch):
+        return self._jitted_loss(self.params, jnp.asarray(batch), self.next_key())
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _jitted_loss(self, params, batch, key):
+        return self.loss_fn(params, batch, key, train=False)
+
+    def evaluation_step(self, batch):
+        batch = jnp.asarray(batch)
+        batch_x = batch[:, : self.windows, :]
+        batch_y = (
+            batch[:, self.windows : self.windows + self.pred_len, :]
+            if batch.shape[1] - self.windows >= self.pred_len
+            else None
+        )
+        outs = self._jitted_sample(self.params, batch_x, self.next_key(), self.n_z_samples)
+        return outs, batch_y
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _jitted_sample(self, params, batch_x, key, n_z_samples):
+        return self.sample_fn(params, batch_x, key, n_z_samples)

@@ -1,0 +1,314 @@
+"""NsDiff — non-stationary diffusion with learned mean f(x) and variance g(x).
+
+TPU-native rebuild of /root/reference/models/Diffusion_model/NsDiff/
+NsDiff_model.py (wrapper :16-268, variants :271-495).  Differences by design:
+
+  - The reverse chain is ONE ``lax.scan`` (ops.diffusion.nsdiff_p_sample_loop)
+    instead of a Python loop of T denoiser calls (nsdiff_utils.py:271-284).
+  - The sample ensemble is a ``vmap`` over n_z_samples instead of host-side
+    tiling in chunks of ``parallel_sample`` (NsDiff_model.py:227-257); the
+    whole (batch x samples x steps) program is compiled once.
+  - f(x)/g(x) run ONCE per window and are broadcast into the vmapped chain.
+
+The three-stage training protocol (pretrain_f -> pretrain_g -> NsDiff_model,
+train/train_diffusion_spdata.py:42-49) maps to `loss_fn(..., select)` plus a
+`trainable_mask` consumed by optax.masked.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import diffusion as D
+from ..ops.rolling import wv_sigma_trailing
+from ..ops.schedules import NsDiffSchedule
+from .base import EPS, DiffusionWrapperBase
+from .denoise import NsDiffDenoiser
+from .ns_transformer import NSTransformer
+from .sigma_estimation import SigmaEstimation
+
+__all__ = ["NsDiffModel", "NsDiffVariants"]
+
+
+class NsDiffModel(DiffusionWrapperBase):
+    """train_model_select in {'NsDiff_model', 'pretrain_f', 'pretrain_g'}."""
+
+    def __init__(
+        self,
+        net_param: dict,
+        train_model_select: str = "NsDiff_model",
+        pretrain_f_path: Optional[str] = None,
+        pretrain_g_path: Optional[str] = None,
+        seed: int = 0,
+        has_f: bool = True,
+        has_g: bool = True,
+        wo_uans: bool = False,
+    ):
+        super().__init__(net_param, seed=seed)
+        p = self.net_param
+        self.train_model_select = train_model_select
+        self.seq_len = p.setdefault("seq_len", self.windows)
+        self.label_len = p.setdefault("label_len", self.windows // 2)
+        self.rolling_length = p["rolling_length"]
+        self.diffusion_steps = p["diffusion_steps"]
+        self.n_z_samples = p.get("n_z_samples", 100)
+        self.parallel_sample = p.get("parallel_sample", 10)  # kept for config parity
+        self.has_f = has_f
+        self.has_g = has_g
+        self.wo_uans = wo_uans
+
+        self.sched = NsDiffSchedule.create(
+            p.get("diffusion_schedule", "linear"),
+            self.diffusion_steps,
+            p.get("beta_start", 1e-4),
+            p.get("beta_end", 2e-2),
+        )
+
+        self.cond_pred_model = NSTransformer(
+            seq_len=self.seq_len,
+            label_len=self.label_len,
+            pred_len=self.pred_len,
+            enc_in=self.dataset_nf,
+            d_model=p.get("d_model", 512),
+            n_heads=p.get("n_heads", 8),
+            e_layers=p.get("e_layers", 2),
+            d_layers=p.get("d_layers", 1),
+            d_ff=p.get("d_ff", 256),
+            dropout=p.get("dropout", 0.05),
+            activation=p.get("activation", "gelu"),
+            p_hidden_dims=tuple(p.get("p_hidden_dims", (64, 64))),
+            p_hidden_layers=p.get("p_hidden_layers", 2),
+        ) if has_f else None
+        self.cond_pred_model_g = SigmaEstimation(
+            self.windows, self.pred_len, self.dataset_nf, 512, self.rolling_length
+        ) if has_g else None
+        self.denoiser = NsDiffDenoiser(self.dataset_nf, self.diffusion_steps)
+
+        self._init_params()
+        if train_model_select == "NsDiff_model" and p.get("load_pretrain") and pretrain_g_path:
+            self._load_pretrain_g(pretrain_g_path)
+        if train_model_select == "NsDiff_model" and p.get("load_pretrain") and pretrain_f_path and p.get("load_pretrain_f"):
+            self._load_pretrain_f(pretrain_f_path)
+
+    # ------------------------------------------------------------------
+    def _init_params(self):
+        key = self.next_key()
+        kf, kg, km = jax.random.split(key, 3)
+        x = jnp.zeros((1, self.windows, self.dataset_nf))
+        y = jnp.zeros((1, self.pred_len, self.dataset_nf))
+        t = jnp.zeros((1,), jnp.int32)
+        params = {}
+        # jit the inits: eager flax init dispatches hundreds of op-by-op XLA
+        # compiles, which is prohibitively slow on a small host.
+        if self.cond_pred_model is not None:
+            params["cond_pred_model"] = jax.jit(self.cond_pred_model.init)(
+                {"params": kf}, x
+            )["params"]
+        if self.cond_pred_model_g is not None:
+            params["cond_pred_model_g"] = jax.jit(self.cond_pred_model_g.init)(
+                {"params": kg}, x
+            )["params"]
+        params["model"] = jax.jit(self.denoiser.init)({"params": km}, y, y, y, t)["params"]
+        self.params = params
+
+    def _load_pretrain_g(self, pretrain_g_path):
+        from ..utils.io import load_checkpoint, unflatten_params
+
+        _, sd = load_checkpoint(str(pretrain_g_path) + "/model_trained")
+        sd = {k.replace("cond_pred_model_g.", ""): v for k, v in sd.items()}
+        sd.pop("scaler_mean", None)
+        sd.pop("scaler_std", None)
+        self.params = dict(self.params)
+        self.params["cond_pred_model_g"] = jax.tree.map(jnp.asarray, unflatten_params(sd))
+
+    def _load_pretrain_f(self, pretrain_f_path):
+        from ..utils.io import load_checkpoint, unflatten_params
+
+        _, sd = load_checkpoint(str(pretrain_f_path) + "/model_trained")
+        sd = {k.replace("cond_pred_model.", ""): v for k, v in sd.items()}
+        sd.pop("scaler_mean", None)
+        sd.pop("scaler_std", None)
+        self.params = dict(self.params)
+        self.params["cond_pred_model"] = jax.tree.map(jnp.asarray, unflatten_params(sd))
+
+    # ------------------------------------------------------------------
+    # pure functions
+    # ------------------------------------------------------------------
+    def _apply_f(self, params, batch_x, rngs=None, deterministic=True):
+        if self.cond_pred_model is None:
+            B = batch_x.shape[0]
+            return jnp.zeros((B, self.pred_len, self.dataset_nf), batch_x.dtype)
+        y0_hat, _ = self.cond_pred_model.apply(
+            {"params": params["cond_pred_model"]},
+            batch_x,
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+        return y0_hat
+
+    def _apply_g(self, params, batch_x):
+        if self.cond_pred_model_g is None:
+            B = batch_x.shape[0]
+            return jnp.ones((B, self.pred_len, self.dataset_nf), batch_x.dtype)
+        return self.cond_pred_model_g.apply(
+            {"params": params["cond_pred_model_g"]}, batch_x
+        )
+
+    def loss_fn(self, params, batch, key, select: Optional[str] = None, train: bool = True):
+        """Single-step loss for any training stage.
+
+        batch: [B, windows + pred_len, N].  Mirrors NsDiff_model.training_step
+        (:133-179), pretrain_f (:111-123), pretrain_g (:124-132); variant
+        behavior (Gaussian/cond_mean/cond_var/wo_UANS) via has_f/has_g/wo_uans
+        (:336-402).
+        """
+        select = select or self.train_model_select
+        batch_x = batch[:, : self.windows, :]
+        batch_y = batch[:, self.windows : self.windows + self.pred_len, :]
+        kd, kt, ke = jax.random.split(key, 3)
+        rngs = {"dropout": kd} if train else None
+
+        if select == "pretrain_f":
+            y0_hat = self._apply_f(params, batch_x, rngs=rngs, deterministic=not train)
+            return jnp.mean((y0_hat - batch_y) ** 2)
+        if select == "pretrain_g":
+            y_sigma = wv_sigma_trailing(
+                jnp.concatenate([batch_x, batch_y], axis=1), self.rolling_length
+            )[:, -self.pred_len :, :] + EPS
+            gx = self._apply_g(params, batch_x)
+            return jnp.mean((jnp.sqrt(gx) - jnp.sqrt(y_sigma)) ** 2)
+
+        # full NsDiff step
+        y_sigma = wv_sigma_trailing(
+            jnp.concatenate([batch_x, batch_y], axis=1), self.rolling_length
+        )[:, -self.pred_len :, :] + EPS
+        n = batch_x.shape[0]
+        t = self.antithetic_t(kt, n, self.sched.num_timesteps)
+        y0_hat = self._apply_f(params, batch_x, rngs=rngs, deterministic=not train)
+        gx = self._apply_g(params, batch_x) + EPS
+        loss1 = jnp.mean((y0_hat - batch_y) ** 2) if self.has_f else 0.0
+        loss2 = jnp.mean((jnp.sqrt(gx) - jnp.sqrt(y_sigma)) ** 2) if self.has_g else 0.0
+
+        e = jax.random.normal(ke, batch_y.shape, batch_y.dtype)
+        c = D.nsdiff_gather(self.sched, t, batch_y)
+        forward_noise = D.nsdiff_forward_noise(c, gx, y_sigma)
+        noise = e * jnp.sqrt(forward_noise)
+        sigma_tilde = D.nsdiff_sigma_tilde(c, gx, y_sigma)
+        y_t = D.nsdiff_q_sample(batch_y, y0_hat, self.sched, t, noise)
+        output, sigma_theta = self.denoiser.apply(
+            {"params": params["model"]}, y_t, y0_hat, gx, t
+        )
+        sigma_theta = sigma_theta + EPS
+        if self.wo_uans:
+            kl_loss = jnp.mean((e - output) ** 2)
+        else:
+            ratio = sigma_tilde / sigma_theta
+            kl_loss = jnp.mean((e - output) ** 2) + jnp.mean(ratio) - jnp.mean(jnp.log(ratio))
+        return kl_loss + loss1 + loss2
+
+    def sample_fn(self, params, batch_x, key, n_z_samples: Optional[int] = None,
+                  use_gx_directly: bool = False):
+        """Generate the prediction ensemble: [B, pred_len, N, n_z_samples].
+
+        f(x)/g(x) run once; the ensemble vmaps over sample keys.
+        """
+        S = n_z_samples or self.n_z_samples
+        y0_hat = self._apply_f(params, batch_x, deterministic=True)
+        gx = self._apply_g(params, batch_x)
+        if self.has_g:
+            gx = gx + EPS
+
+        def model_fn(y, t):
+            tb = jnp.broadcast_to(jnp.asarray(t), (y.shape[0],))
+            return self.denoiser.apply({"params": params["model"]}, y, y0_hat, gx, tb)
+
+        def one_sample(k):
+            return D.nsdiff_p_sample_loop(
+                model_fn, y0_hat, gx, self.sched, k, use_gx_directly=use_gx_directly
+            )
+
+        keys = jax.random.split(key, S)
+        samples = jax.vmap(one_sample)(keys)  # [S, B, O, N]
+        return jnp.transpose(samples, (1, 2, 3, 0))  # [B, O, N, S]
+
+    def gx_fn(self, params, batch_x):
+        """The cheap closed-form variance pathway (cond_pred_model_g only)."""
+        return self._apply_g(params, batch_x)
+
+    def trainable_mask(self, select: Optional[str] = None):
+        select = select or self.train_model_select
+        freeze = self.net_param.get("freeze_pretrain", False)
+        mask = {}
+        for k in self.params:
+            if select == "pretrain_f":
+                mask[k] = k == "cond_pred_model"
+            elif select == "pretrain_g":
+                mask[k] = k == "cond_pred_model_g"
+            elif freeze:
+                mask[k] = k == "model"
+            else:
+                mask[k] = True
+        return mask
+
+    # ------------------------------------------------------------------
+    # reference-surface convenience API
+    # ------------------------------------------------------------------
+    def training_step(self, batch):
+        batch = jnp.asarray(batch)
+        return self._jitted_loss(self.params, batch, self.next_key(), self.train_model_select)
+
+    def pretrain_f(self, batch):
+        return self._jitted_loss(self.params, jnp.asarray(batch), self.next_key(), "pretrain_f")
+
+    def pretrain_g(self, batch):
+        return self._jitted_loss(self.params, jnp.asarray(batch), self.next_key(), "pretrain_g")
+
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _jitted_loss(self, params, batch, key, select):
+        return self.loss_fn(params, batch, key, select=select, train=False)
+
+    def evaluation_step(self, batch, use_gx_directly: bool = False):
+        """(outs [B, O, N, n_z_samples], batch_y or None) — NsDiff_model.py:180-268."""
+        batch = jnp.asarray(batch)
+        batch_x = batch[:, : self.windows, :]
+        batch_y = (
+            batch[:, self.windows : self.windows + self.pred_len, :]
+            if batch.shape[1] - self.windows >= self.pred_len
+            else None
+        )
+        outs = self._jitted_sample(
+            self.params, batch_x, self.next_key(), self.n_z_samples, use_gx_directly
+        )
+        return outs, batch_y
+
+    @partial(jax.jit, static_argnums=(0, 4, 5))
+    def _jitted_sample(self, params, batch_x, key, n_z_samples, use_gx_directly):
+        return self.sample_fn(params, batch_x, key, n_z_samples, use_gx_directly)
+
+
+class NsDiffVariants(NsDiffModel):
+    """Ablation variants (NsDiff_model.py:271-495).
+
+    train_model_select in {'Guassian', 'cond_mean', 'cond_var', 'wo_UANS'}.
+    """
+
+    def __init__(self, net_param: dict, train_model_select: str, seed: int = 0):
+        cfg = {
+            "Guassian": dict(has_f=False, has_g=False, wo_uans=False),
+            "cond_mean": dict(has_f=True, has_g=False, wo_uans=False),
+            "cond_var": dict(has_f=False, has_g=True, wo_uans=False),
+            "wo_UANS": dict(has_f=True, has_g=True, wo_uans=True),
+        }
+        if train_model_select not in cfg:
+            raise ValueError(
+                "train_model_select should be in Guassian/cond_mean/cond_var/wo_UANS"
+            )
+        super().__init__(net_param, train_model_select="NsDiff_model", seed=seed, **cfg[train_model_select])
+        self.variant = train_model_select
+
+    def trainable_mask(self, select=None):
+        return {k: True for k in self.params}
