@@ -1,0 +1,133 @@
+"""End-to-end slice: train tiny NsDiff -> checkpoint + yaml -> uncertainty_ews
+(sampling + gx) -> MPV curves + .pt caches, plus cache-hit reload."""
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def trained_model_dir(tmp_path_factory):
+    from upgdm_tpu.train.loop import run_training
+
+    d = tmp_path_factory.mktemp("nsdiff_e2e")
+    rng = np.random.default_rng(0)
+    data = (rng.normal(size=(40, 24, 2)) * 0.1).astype(np.float32).cumsum(axis=1)
+    net_param = dict(
+        dataset_nf=2, windows=16, pred_len=8, rolling_length=4, diffusion_steps=5,
+        scaler_type="StandardScaler", d_model=16, n_heads=2, e_layers=1, d_layers=1,
+        d_ff=16, p_hidden_dims=[8, 8], p_hidden_layers=2, n_z_samples=6,
+        parallel_sample=3, task_model="NsDiff",
+    )
+    train_param = dict(
+        train_model_select="NsDiff_model", train_batch_size=16, val_batch_size=16,
+        train_epochs=2, test_set=True, ckpt=False, ckpt_period=2,
+    )
+    opt_param = dict(optimizer_name="Adam", lr=1e-3, weight_decay=0.0, scheduler_set=False)
+    dataset_param = dict(windows=16, pred_len=8, sampling_t=0.1)
+    run_training(
+        data[:32], data[32:], train_param, net_param, {"loss_metric": "KL divergence"},
+        opt_param, d, dataset_param=dataset_param,
+    )
+    # uncertainty_ews reads <dir>/model_trained + model_trained.yaml
+    import shutil
+
+    model_dir = d / "model"
+    model_dir.mkdir()
+    shutil.copy(d / "trained_model/model_trained", model_dir / "model_trained")
+    shutil.copy(d / "trained_model/model_trained.yaml", model_dir / "model_trained.yaml")
+    return model_dir
+
+
+def test_uncertainty_ews_sampling_and_gx(trained_model_dir, tmp_path):
+    from upgdm_tpu.eval.uncertainty import uncertainty_ews
+
+    rng = np.random.default_rng(1)
+    T = 120
+    series = (rng.normal(size=(T, 2)) * 0.1).astype(np.float32).cumsum(axis=0)
+    tdata = np.arange(T, dtype=np.float64) * 0.1
+
+    res = uncertainty_ews(
+        model_save_file=trained_model_dir,
+        torch_time_series=series,
+        time_data=tdata,
+        dynamic_type="SLBP",
+        cache_path=tmp_path / "cache.pt",
+        sample_window_step=20,
+        sampling_t=0.1,
+        uncertainty_method="both",
+        nsdiff_g_path=tmp_path / "cache_gx.pt",
+    )
+    n_windows = (T - 16) // 20 + 1
+    assert len(res["ews"]) == n_windows
+    assert len(res["time_points"]) == n_windows
+    assert all(np.isfinite(res["ews"]))
+    assert res["uncertainty_source"] == "sampling"
+    # gx pathway present
+    assert "nsdiff_g" in res
+    assert len(res["nsdiff_g"]["ews"]) == n_windows
+    # cache files exist with reference shapes
+    from upgdm_tpu.utils.io import load_tensor_list
+
+    cache = load_tensor_list(tmp_path / "cache.pt")
+    assert len(cache) == n_windows
+    assert cache[0].shape == (1, 8, 2, 6)  # [Node, pred_len, F, n_z_samples]
+    gx_cache = load_tensor_list(tmp_path / "cache_gx.pt")
+    assert gx_cache[0].shape == (1, 8, 2)
+
+    # cache-hit path reproduces the summary without a model
+    res2 = uncertainty_ews(
+        model_save_file=trained_model_dir,
+        torch_time_series=series,
+        time_data=tdata,
+        dynamic_type="SLBP",
+        cache_path=tmp_path / "cache.pt",
+        sampling_t=0.1,
+        uncertainty_method="sampling",
+        save_nsdiff_g=False,
+        # like the reference, a cache hit without a loaded model skips the
+        # inverse feature transform; load the model to compare values
+        load_model_when_cached=True,
+    )
+    # step inferred from cache length (ambiguous here: any step reproducing the
+    # cache length is acceptable; the reference tie-breaks the same way)
+    from upgdm_tpu.ops.windows import sliding_window_count
+
+    assert sliding_window_count(120, 16, res2["sample_window_step"]) == n_windows
+    np.testing.assert_allclose(res2["ews"], res["ews"], rtol=1e-6)
+
+
+def test_uncertainty_ews_gx_only(trained_model_dir, tmp_path):
+    from upgdm_tpu.eval.uncertainty import uncertainty_ews
+
+    rng = np.random.default_rng(2)
+    series = (rng.normal(size=(100, 2)) * 0.1).astype(np.float32).cumsum(axis=0)
+    tdata = np.arange(100, dtype=np.float64) * 0.1
+    res = uncertainty_ews(
+        model_save_file=trained_model_dir,
+        torch_time_series=series,
+        time_data=tdata,
+        dynamic_type="SLBP",
+        cache_path=tmp_path / "c.pt",
+        nsdiff_g_path=tmp_path / "c_gx.pt",
+        sample_window_step=30,
+        sampling_t=0.1,
+        uncertainty_method="gx",
+    )
+    assert res["uncertainty_source"] == "gx"
+    assert len(res["ews"]) == (100 - 16) // 30 + 1
+
+
+def test_slbp_raw_window_variance():
+    from upgdm_tpu.eval.uncertainty import slbp_raw_window_variance
+
+    rng = np.random.default_rng(3)
+    series = rng.normal(size=(500, 2)).astype(np.float32)
+    tdata = np.arange(500, dtype=np.float64)
+    res = slbp_raw_window_variance(
+        series, tdata, windows=100, sampling_t=0.1, sample_window_step=50
+    )
+    n = (500 - 100) // 50 + 1
+    assert len(res["variance"]) == n
+    want = np.array([series[i * 50 : i * 50 + 100, 0].var() for i in range(n)])
+    np.testing.assert_allclose(res["variance"], want, rtol=1e-4)

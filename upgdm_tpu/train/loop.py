@@ -97,6 +97,7 @@ def run_training(
     adj=None,
     seed: int = 0,
     model=None,
+    dataset_param: Optional[dict] = None,
 ):
     """Train one configuration; returns record_scores.
 
@@ -255,6 +256,18 @@ def run_training(
     model.params = params
     uio.save_checkpoint(
         records_path / "trained_model", "model_trained", model.state_dict(), net_param
+    )
+    # resolved single-value config consumed at inference
+    # (model_trained.yaml contract, diffusion_model_uncertainy.py:185-190)
+    uio.save_config_yaml(
+        records_path / "trained_model/model_trained.yaml",
+        {
+            "dataset": dataset_param,
+            "train": train_param,
+            "net": {k: v for k, v in net_param.items() if k != "device"},
+            "optimizer": optimizer_param,
+            "loss": loss_param,
+        },
     )
     uio.save_record(records_path / "train_trace/record_scores.json", record_scores)
     return record_scores
