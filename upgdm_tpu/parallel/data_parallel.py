@@ -1,0 +1,117 @@
+"""Data-parallel training and sharded inference sweeps.
+
+Replaces the reference's torch.nn.DataParallel path
+(train/train_diffusion_spdata_dataparallel.py:19-188, model-side re-batching
+at NsDiff_model.py:572-586) with the idiomatic JAX pattern: ONE jitted step
+whose batch carries a 'dp' sharding while the params are replicated — XLA
+inserts the psum of the gradients over ICI.  No checkpoint 'module.' prefixes,
+no host-side scatter/gather.
+
+The MPV sweep analog ("sequence scaling" for this workload, SURVEY.md §5):
+rolling windows and/or the sample ensemble are sharded over the same mesh —
+embarrassingly parallel, collective-free until the final summary.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import NamedSharding, P, dp_sharding, make_mesh, replicated
+
+__all__ = ["make_dp_train_step", "dp_train_epoch", "sharded_window_ensemble"]
+
+
+def make_dp_train_step(model, tx, mesh, select: Optional[str] = None, with_adj: bool = False):
+    """Jitted DP train step: batch sharded on 'dp', params/opt replicated."""
+    rep = replicated(mesh)
+    dp = dp_sharding(mesh)
+
+    if with_adj:
+
+        @partial(
+            jax.jit,
+            in_shardings=(rep, rep, dp, rep, rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        def train_step(params, opt_state, batch, adj, key):
+            def lf(p):
+                return model.loss_fn(p, batch, adj, key, select=select, train=True)
+
+            loss, grads = jax.value_and_grad(lf)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+    else:
+
+        @partial(
+            jax.jit,
+            in_shardings=(rep, rep, dp, rep),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        def train_step(params, opt_state, batch, key):
+            def lf(p):
+                return model.loss_fn(p, batch, key, select=select, train=True)
+
+            loss, grads = jax.value_and_grad(lf)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+            return params, opt_state, loss
+
+    return train_step
+
+
+def dp_train_epoch(model, tx, mesh, params, opt_state, data, batch_size, select=None):
+    """Convenience epoch driver over a sharded batch stream; returns mean loss."""
+    train_step = make_dp_train_step(model, tx, mesh, select=select)
+    n_dev = mesh.devices.size
+    bs = max(batch_size // n_dev * n_dev, n_dev)  # divisible batches
+    losses = []
+    for start in range(0, data.shape[0] - bs + 1, bs):
+        batch = jnp.asarray(data[start : start + bs])
+        params, opt_state, loss = train_step(params, opt_state, batch, model.next_key())
+        losses.append(float(loss))
+    return params, opt_state, float(np.mean(losses)) if losses else float("nan")
+
+
+def sharded_window_ensemble(
+    model, windows_array: np.ndarray, pred_len: int, mesh=None, chunk_windows: int = 8
+):
+    """MPV sweep with the window axis sharded across the mesh.
+
+    windows_array: [n, Node, W, F].  Each device call takes
+    n_devices * chunk_windows windows; the flattened (window*node) batch axis
+    carries a 'dp' sharding so every chip denoises its own window shard — the
+    collective-free "sequence scaling" axis of this workload.
+    Returns a list of [Node, pred_len, F, S] arrays (cache contract).
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    n, node, W, F = windows_array.shape
+    block_sz = n_dev * chunk_windows
+    dp = dp_sharding(mesh)
+
+    out = []
+    for start in range(0, n, block_sz):
+        block = windows_array[start : start + block_sz]
+        valid = block.shape[0]
+        if valid < block_sz:
+            block = np.concatenate(
+                [block, np.repeat(block[-1:], block_sz - valid, axis=0)], axis=0
+            )
+        flat = block.reshape(block_sz * node, W, F)
+        if model.scaler is not None:
+            flat = model.scaler_transform(flat)
+        flat = jax.device_put(jnp.asarray(flat), dp)
+        outs, _ = model.evaluation_step(flat)
+        outs = np.asarray(outs)
+        outs = outs[:, -pred_len:, :, :].reshape(block_sz, node, pred_len, F, outs.shape[-1])
+        for i in range(valid):
+            out.append(outs[i])
+    return out
