@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark: NsDiff sampling-MPV end-to-end throughput (windows/hr).
+
+Workload = the reference's default inference case (BASELINE.md): NsDiff with
+reference-scale dims (d_model 512, e4/d2, d_ff 256) on a 30-node trajectory,
+windows/pred 100/100, 20 reverse-diffusion steps, n_z_samples=100 per window.
+One MPV window = f(x) + g(x) + 100-sample reverse-diffusion ensemble + the
+across-sample variance summary.
+
+vs_baseline compares against a *measured* torch-CPU reference run
+(benchmarks/torch_reference.py — the reference's pinned torch-geometric stack
+is not installed, so the baseline is a same-math-spec torch implementation
+with the reference's host-side sample chunking).  The baseline number is
+cached in BENCH_BASELINE.json after the first measurement.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+NODE = 30
+WINDOWS = 100
+PRED_LEN = 100
+STEPS = 20
+N_Z = 100
+N_BENCH_WINDOWS = 64
+CHUNK = 8
+
+NET_PARAM = dict(
+    dataset_nf=1, windows=WINDOWS, pred_len=PRED_LEN, rolling_length=50,
+    diffusion_steps=STEPS, scaler_type="StandardScaler", d_model=512, n_heads=8,
+    e_layers=4, d_layers=2, d_ff=256, p_hidden_dims=[64, 64], p_hidden_layers=2,
+    n_z_samples=N_Z, parallel_sample=10, task_model="NsDiff",
+    diffusion_schedule="linear", beta_start=1e-4, beta_end=2e-2,
+    output_attention=False, dropout=0.05, factor=3, activation="gelu",
+    load_pretrain=False, freeze_pretrain=False,
+)
+
+
+def make_windows(n_windows: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    T = WINDOWS + (n_windows - 1) * 5 + 1
+    traj = (rng.normal(size=(NODE, T, 1)) * 0.05).astype(np.float32)
+    traj += np.linspace(0.5, 1.5, T, dtype=np.float32)[None, :, None]
+    starts = np.arange(n_windows) * 5
+    idx = starts[:, None] + np.arange(WINDOWS)[None, :]
+    return np.ascontiguousarray(traj[:, idx, :].transpose(1, 0, 2, 3))  # [n, Node, W, F]
+
+
+def measure_tpu() -> float:
+    """Our framework's MPV windows/hr on the available accelerator."""
+    from upgdm_tpu.eval.uncertainty import batched_window_ensemble, summarize_pred_future_list
+    from upgdm_tpu.models.nsdiff import NsDiffModel
+
+    model = NsDiffModel(NET_PARAM)  # identity scaler by default
+
+    warm = make_windows(CHUNK)
+    t0 = time.time()
+    batched_window_ensemble(model, warm, PRED_LEN, chunk_windows=CHUNK)
+    compile_s = time.time() - t0
+
+    wins = make_windows(N_BENCH_WINDOWS)
+    t0 = time.time()
+    pred_list = batched_window_ensemble(model, wins, PRED_LEN, chunk_windows=CHUNK)
+    summarize_pred_future_list(pred_list, model=model)
+    elapsed = time.time() - t0
+    rate = N_BENCH_WINDOWS / elapsed * 3600.0
+    print(
+        f"# tpu: {N_BENCH_WINDOWS} windows in {elapsed:.2f}s "
+        f"(compile+warmup {compile_s:.1f}s) -> {rate:.1f} windows/hr",
+        file=sys.stderr,
+    )
+    return rate
+
+
+def measure_cpu_baseline(n_windows: int = 2) -> float:
+    """Measured torch-CPU reference-replica windows/hr (cached)."""
+    cache = REPO / "BENCH_BASELINE.json"
+    if cache.exists():
+        return json.loads(cache.read_text())["cpu_windows_per_hr"]
+    from benchmarks.torch_reference import TorchNsDiffReference
+
+    ref = TorchNsDiffReference(
+        windows=WINDOWS, pred_len=PRED_LEN, enc_in=1, diffusion_steps=STEPS,
+        n_z_samples=N_Z, parallel_sample=10, rolling_length=50,
+        d_model=512, e_layers=4, d_layers=2, d_ff=256, n_heads=8,
+    )
+    wins = make_windows(n_windows)
+    ref.mpv_sweep(wins[:1])  # warmup
+    t0 = time.time()
+    ref.mpv_sweep(wins)
+    elapsed = time.time() - t0
+    rate = n_windows / elapsed * 3600.0
+    cache.write_text(
+        json.dumps(
+            {
+                "cpu_windows_per_hr": rate,
+                "n_windows": n_windows,
+                "elapsed_s": elapsed,
+                "workload": f"NsDiff MPV Node={NODE} W={WINDOWS} P={PRED_LEN} "
+                            f"steps={STEPS} n_z={N_Z} (torch-CPU reference replica)",
+            },
+            indent=2,
+        )
+    )
+    print(f"# cpu baseline: {n_windows} windows in {elapsed:.2f}s -> {rate:.1f} windows/hr",
+          file=sys.stderr)
+    return rate
+
+
+def main():
+    cpu_rate = measure_cpu_baseline()
+    tpu_rate = measure_tpu()
+    print(
+        json.dumps(
+            {
+                "metric": "NsDiff sampling-MPV end-to-end throughput",
+                "value": round(tpu_rate, 1),
+                "unit": "windows/hr",
+                "vs_baseline": round(tpu_rate / cpu_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Grid expansion, CLI drivers, and the data-parallel layer."""
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+
+def test_grid_expansion_counts():
+    from upgdm_tpu.utils.config import grid_parameters_generative_learning
+
+    train = {"a": [1, 2], "b": ["x"]}
+    net = {"c": [1, 2, 3]}
+    loss = {"d": [0]}
+    opt = {"e": [1, 2]}
+    params, hp = grid_parameters_generative_learning(train, net, loss, opt)
+    assert len(params) == 2 * 3 * 2
+    assert hp == {"train": {"a": [1, 2]}, "net": {"c": [1, 2, 3]}, "optimizer": {"e": [1, 2]}}
+    # deep copies — mutating one config must not affect others
+    params[0][0]["a"] = 999
+    assert params[1][0]["a"] != 999
+
+
+def test_grid_expansion_spdata_nested():
+    from upgdm_tpu.utils.config import grid_parameters_generative_learning_spdata
+
+    net = {
+        "gnn_name": ["GCNConv", "SAGEConv"],
+        "d_h": [4],
+        "gnn_params": {
+            "GCNConv": {"bias": [True, False]},
+            "SAGEConv": {"aggr": ["mean"]},
+        },
+    }
+    params, hp = grid_parameters_generative_learning_spdata(
+        {"t": [1]}, net, {"l": [1]}, {"o": [1]}
+    )
+    # GCNConv has 2 sub-configs, SAGEConv 1 -> 3 total
+    assert len(params) == 3
+    assert all("gnn_param" in p[1] for p in params)
+    assert "gnn_params" not in hp.get("net", {})
+
+
+@pytest.mark.skipif(not Path("/root/reference/configs").exists(), reason="no reference")
+def test_grid_expansion_on_reference_config():
+    from upgdm_tpu.utils.config import (
+        grid_parameters_generative_learning,
+        grid_parameters_generative_learning_spdata,
+        load_grid_config,
+    )
+
+    cfg = load_grid_config("/root/reference/configs/grid_search/diffusion_model_NsDiff.yaml")
+    params, hp = grid_parameters_generative_learning(
+        cfg["train"], cfg["net"], cfg["loss"], cfg["optimizer"]
+    )
+    assert len(params) == 2  # lr: [0.001, 0.0001]
+    cfg = load_grid_config("/root/reference/configs/grid_search/diffusion_model_DiffSTG.yaml")
+    params, hp = grid_parameters_generative_learning_spdata(
+        cfg["train"], cfg["net"], cfg["loss"], cfg["optimizer"]
+    )
+    # Td_h(2) x channel_multipliers(2) x gnn_name sub-grids (1 + 1 + 1)
+    assert len(params) == 2 * 2 * 3
+
+
+@pytest.mark.slow
+def test_cli_timeseries_hold_out(tmp_path):
+    """Full CLI slice: generate SLBP data -> train tiny NsDiff pretrain_g."""
+    from upgdm_tpu.data.generate import generate_slbp_dataset
+    from upgdm_tpu.cli.train_timeseries import main
+
+    data_dir = tmp_path / "slbp"
+    generate_slbp_dataset(
+        data_dir, trends=("increase",), total_times=(300.0,), d_values=(1e-5,),
+        burn_time=10.0, dt=0.1, seed=0,
+    )
+    out_dir = tmp_path / "out"
+    cfg = {
+        "out_dir": str(out_dir),
+        "dataset": {
+            "file_path": [str(data_dir)], "filter": ["*"], "sampling_t": [0.1],
+            "windows": [16], "pred_len": [8], "interval_step": [100],
+            "STG_exist": [False],
+        },
+        "train": {
+            "model_evaluation": ["hold_out"], "train_model_select": ["pretrain_g"],
+            "traindata_size": [0.8], "train_batch_size": [16], "val_batch_size": [16],
+            "train_epochs": [2], "test_set": [True], "ckpt": [False], "ckpt_period": [2],
+        },
+        "net": {
+            "scaler_type": ["StandardScaler"], "task_model": ["NsDiff"],
+            "rolling_length": [4], "diffusion_schedule": ["linear"],
+            "diffusion_steps": [5], "beta_start": [0.0001], "beta_end": [0.02],
+            "n_z_samples": [4], "parallel_sample": [2], "load_pretrain": [False],
+            "freeze_pretrain": [False], "d_model": [16], "output_attention": [False],
+            "dropout": [0.05], "factor": [3], "n_heads": [2], "d_ff": [16],
+            "activation": ["gelu"], "e_layers": [1], "d_layers": [1],
+            "p_hidden_dims": [[8, 8]], "p_hidden_layers": [2],
+        },
+        "loss": {"loss_metric": ["KL divergence"]},
+        "optimizer": {
+            "optimizer_name": ["Adam"], "lr": [0.001], "weight_decay": [1e-5],
+            "scheduler_set": [False], "scheduler": ["MultiStepLR"],
+            "MstepLR_milestones": [[10]], "MstepLR_gamma": [0.1],
+        },
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        main(["--cfg", str(cfg_path), "--train_mode", "grid"])
+    finally:
+        os.chdir(cwd)
+    grid = out_dir / "dataset__w16p8st0.1/grid_search"
+    assert (grid / "configs_record_scores.json").exists()
+    assert (grid / "config_0/hold_out/trained_model/model_trained").exists()
+    assert (grid / "config_0/hold_out/trained_model/model_trained.yaml").exists()
+    # dedup: rerunning skips training and returns saved scores
+    os.chdir(tmp_path)
+    try:
+        main(["--cfg", str(cfg_path), "--train_mode", "grid"])
+    finally:
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_dp_train_step_8dev():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from upgdm_tpu.models.nsdiff import NsDiffModel
+    from upgdm_tpu.parallel.data_parallel import make_dp_train_step
+    from upgdm_tpu.parallel.mesh import dp_sharding, make_mesh
+    from upgdm_tpu.train.optimizers import make_optimizer
+
+    net_param = dict(
+        dataset_nf=1, windows=16, pred_len=8, rolling_length=4, diffusion_steps=5,
+        scaler_type=None, d_model=16, n_heads=2, e_layers=1, d_layers=1, d_ff=16,
+        p_hidden_dims=[8, 8], p_hidden_layers=2, n_z_samples=4, task_model="NsDiff",
+    )
+    model = NsDiffModel(net_param)
+    tx = make_optimizer({"optimizer_name": "Adam", "lr": 1e-3}, model.trainable_mask())
+    params, opt_state = model.params, None
+    opt_state = tx.init(params)
+    mesh = make_mesh(8)
+    step = make_dp_train_step(model, tx, mesh)
+    import jax.numpy as jnp
+
+    batch = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).normal(size=(16, 24, 1)).astype(np.float32)),
+        dp_sharding(mesh),
+    )
+    losses = []
+    for i in range(3):
+        params, opt_state, loss = step(params, opt_state, batch, jax.random.key(i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
