@@ -26,6 +26,10 @@ import numpy as np
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
+# Persistent XLA compile cache: axon-tunnel compiles are remote and slow; the
+# cache makes repeat bench runs start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 NODE = 30
 WINDOWS = 100
 PRED_LEN = 100

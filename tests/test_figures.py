@@ -1,0 +1,148 @@
+"""Figure-layer analytics: transition location, MPV metrics, summary tables."""
+import importlib
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from upgdm_tpu.figures import mpv_collapse as M
+
+
+def test_all_figure_modules_import():
+    for mod in [
+        "common", "mpv_collapse", "fig1_model_compare", "fig2_graph_generalization",
+        "fig3_dynamics_transfer", "fig4_model_sensitivity", "fig5_tipping_types",
+        "fig6_slbp_model_analysis", "fig7_train_analysis", "fig8_train_source",
+        "fig9_smoothing", "figure_composer", "real_systems", "plot_bury_transitions",
+    ]:
+        importlib.import_module(f"upgdm_tpu.figures.{mod}")
+
+
+def test_locate_transition_step():
+    t = np.arange(200, dtype=float)
+    state = np.concatenate([np.ones(120), 5 * np.ones(80)])
+    res = M.locate_transition(t, state, "biomass", "increase")
+    assert res["is_transition"]
+    # the max-window-change score flags the window *ending* at the jump, so
+    # the located index trails the jump by up to window_size (ref behavior)
+    assert 105 <= res["transition_time"] <= 125
+
+
+def test_locate_transition_sis_threshold():
+    t = np.arange(300, dtype=float)
+    state = np.concatenate([np.zeros(200), 0.5 * np.ones(100)])
+    res = M.locate_transition(t, state, "SIS", "increase")
+    assert res["is_transition"]
+    assert res["transition_method"] == "sis_threshold"
+    assert 190 <= res["transition_time"] <= 210
+
+
+def test_locate_transition_too_short():
+    res = M.locate_transition(np.arange(5.0), np.ones(5), "biomass", "increase")
+    assert not res["is_transition"]
+    assert res["skip_reason"] == "too_short"
+
+
+def test_metric_row_from_mpv_collapse():
+    # MPV flat at 1.0, collapses to 0.1 before the transition at t=80
+    t = np.arange(100, dtype=float)
+    mpv = np.ones(100)
+    mpv[60:] = 0.1
+    m = M.metric_row_from_mpv(t, mpv, transition_time=80.0, slope_window_points=10)
+    assert m["skip_reason"] == ""
+    assert m["baseline_mpv"] == pytest.approx(1.0)
+    assert m["pre_transition_drop_percent"] == pytest.approx(90.0)
+    assert m["global_drop_percent"] == pytest.approx(90.0)
+    assert m["lead_time"] == pytest.approx(80.0 - 60.0)
+    assert m["min_slope_global"] < 0
+
+
+def test_metric_row_skip_reasons():
+    t = np.arange(100, dtype=float)
+    assert M.metric_row_from_mpv(t[:2], np.ones(2), 50)["skip_reason"] == "too_few_mpv_points"
+    # no pre-transition points
+    assert (
+        M.metric_row_from_mpv(t, np.ones(100), -5.0)["skip_reason"]
+        == "too_few_pre_transition_mpv_points"
+    )
+
+
+def test_compute_local_slopes_linear():
+    t = np.arange(50, dtype=float)
+    y = 2.0 * t
+    st, s = M.compute_local_slopes(t, y, 10)
+    assert len(s) == 50 - 10 + 1
+    np.testing.assert_allclose(s, 2.0, rtol=1e-6)
+
+
+def test_build_summary_rows_and_matrix():
+    rows = [
+        {"dynamic_type": "SIS", "topology_type": "BA", "trend": "increase",
+         "skip_reason": "", "pre_transition_drop_percent": 80.0,
+         "global_drop_percent": 85.0, "lead_time": 100.0,
+         "min_slope_before_transition": -1.0, "min_slope_global": -2.0,
+         "slope_lead_time": 50.0},
+        {"dynamic_type": "SIS", "topology_type": "BA", "trend": "increase",
+         "skip_reason": "", "pre_transition_drop_percent": 90.0,
+         "global_drop_percent": 95.0, "lead_time": 120.0,
+         "min_slope_before_transition": -1.5, "min_slope_global": -2.5,
+         "slope_lead_time": 60.0},
+        {"dynamic_type": "SIS", "topology_type": "ER", "trend": "increase",
+         "skip_reason": "bad", "pre_transition_drop_percent": 0.0},
+    ]
+    summary = M.build_summary_rows(rows)
+    drop = [r for r in summary if r["metric"] == "pre_transition_drop_percent"]
+    assert len(drop) == 1  # only the valid BA group
+    assert drop[0]["n_valid"] == 2
+    assert drop[0]["mean"] == pytest.approx(85.0)
+    fields, matrix = M.build_metric_matrix(summary, "pre_transition_drop_percent")
+    assert matrix[0]["dynamic_type"] == "SIS"
+    assert "85.00% +/- " in matrix[0]["BA | increase"]
+
+
+def test_iter_data_files(tmp_path):
+    root = tmp_path
+    d = root / "spdata_sde_SIS" / "barabasi_albert_30_0"
+    d.mkdir(parents=True)
+    (d / "SIS_dynamic_eta0.01d0.5_increase.pt").write_bytes(b"x")
+    (d / "SIS_dynamic_eta0.5d0.5_decrease.pt").write_bytes(b"x")
+    files = list(M.iter_data_files(root, ["SIS"], ["increase", "decrease"],
+                                   exclude_eta=["0.5"]))
+    assert len(files) == 1
+    dyn, ttype, topo, trend, eta, _f = files[0]
+    assert (dyn, ttype, trend, eta) == ("SIS", "BA", "increase", "0.01")
+
+
+def test_figure_composer_crop():
+    from upgdm_tpu.figures.figure_composer import crop_white_margin
+
+    img = np.full((100, 100, 4), 255, np.uint8)
+    img[40:60, 30:70, :3] = 0
+    out = crop_white_margin(img, pad=2)
+    assert out.shape[0] <= 26 and out.shape[1] <= 46
+
+
+def test_common_helpers():
+    from upgdm_tpu.figures.common import (
+        dynamics_filename, graph_name, parameters, relative_uncertainty, transition_time,
+    )
+
+    assert dynamics_filename("SIS", "increase") == "SIS_dynamic_eta0.0001d0.5_increase.pt"
+    assert graph_name("BA") == "barabasi_albert_30_0"
+    assert parameters("SIS") == (20, 0.1)
+    rel = relative_uncertainty(np.array([2.0] * 10 + [4.0] * 10))
+    np.testing.assert_allclose(rel[:10], 1.0)
+    t = np.arange(200, dtype=float)
+    state = np.concatenate([np.zeros(150), np.ones(50)])
+    tt = transition_time(t, state, "biomass", "increase")
+    assert 140 <= tt <= 160
+
+
+def test_fig9_causal_moving_average():
+    from upgdm_tpu.figures.fig9_smoothing import causal_moving_average
+
+    x = np.arange(10, dtype=np.float32)[:, None]
+    out = causal_moving_average(x, window=3)
+    assert out[0, 0] == 0
+    assert out[1, 0] == pytest.approx(0.5)
+    assert out[5, 0] == pytest.approx((3 + 4 + 5) / 3)

@@ -1,0 +1,440 @@
+"""MPV-collapse statistics tables (the paper's reviewer-statistics generator).
+
+Parity: /root/reference/paper_figures/mpv_collapse_summary.py (1140 LoC) —
+sweeps every simulated trajectory x topology x trend, locates the raw-state
+transition, pulls gx-MPV via ``uncertainty_ews(uncertainty_method='gx')``,
+computes baseline/min MPV drops, lead times and trailing-slope metrics, and
+writes per-sample CSV + mean±std summary tables (+ optional check plots).
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import re
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+from ..eval.uncertainty import uncertainty_ews
+from .common import DATASETS, EWS_ROOT, OUTPUT_ROOT, SOURCE_ROOT, TRENDS
+
+TRANSITION_EDGE_FRACTION = 0.10
+MIN_TRANSITION_WINDOW = 10
+SIS_THRESHOLD = 1e-2
+DEFAULT_EXCLUDE_ETA = ("0.5",)
+BASELINE_FRACTION_RANGE = (0.01, 0.20)
+TOPOLOGY_TYPES = ("BA", "ER", "SW")
+TOPOLOGY_TYPE_NAMES = {"BA": "barabasi_albert", "ER": "erdos_renyi", "SW": "small-world"}
+METRICS = (
+    "pre_transition_drop_percent",
+    "global_drop_percent",
+    "lead_time",
+    "min_slope_before_transition",
+    "min_slope_global",
+    "slope_lead_time",
+)
+SAMPLE_FIELDS = (
+    "dynamic_type", "topology_type", "topology", "trend", "data_file",
+    "transition_time", "is_transition", "skip_reason", "baseline_mpv",
+    "min_mpv_before_transition", "min_mpv_global", "pre_transition_drop_percent",
+    "global_drop_percent", "global_min_mpv_time", "lead_time",
+    "min_slope_before_transition", "min_slope_global", "slope_lead_time",
+    "mpv_cache_path", "check_plot_path",
+)
+
+__all__ = [
+    "locate_transition",
+    "compute_local_slopes",
+    "slope_metrics_from_mpv",
+    "metric_row_from_mpv",
+    "summarize_metric",
+    "build_summary_rows",
+    "iter_data_files",
+    "main",
+]
+
+
+def as_float_or_nan(value):
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        return np.nan
+
+
+def parse_eta(path: Path) -> str:
+    m = re.search(r"eta([0-9.]+)", Path(path).name)
+    return m.group(1).rstrip(".") if m else ""
+
+
+def parse_trend(path: Path) -> str:
+    name = Path(path).name
+    if "increase" in name:
+        return "increase"
+    if "decrease" in name:
+        return "decrease"
+    return ""
+
+
+def topology_type_from_name(topology: str) -> str:
+    for key, prefix in TOPOLOGY_TYPE_NAMES.items():
+        if topology.startswith(prefix):
+            return key
+    return ""
+
+
+def iter_data_files(source_root, dynamics, trends, topologies=None, topology_types=None,
+                    include_eta=None, exclude_eta=None):
+    """Every (dynamic, topology, trend, eta, file) tuple under the dataset tree
+    (mpv_collapse_summary.py:162-189)."""
+    include_eta = set(include_eta or [])
+    exclude_eta = set(exclude_eta or [])
+    topology_set = set(topologies or [])
+    topology_type_set = set(topology_types or [])
+    for dynamic_type in dynamics:
+        dynamic_root = Path(source_root) / f"spdata_sde_{dynamic_type}"
+        if not dynamic_root.exists():
+            continue
+        for topology_dir in sorted(p for p in dynamic_root.iterdir() if p.is_dir()):
+            topology_type = topology_type_from_name(topology_dir.name)
+            if not topology_type:
+                continue
+            if topology_set and topology_dir.name not in topology_set:
+                continue
+            if topology_type_set and topology_type not in topology_type_set:
+                continue
+            for data_file in sorted(topology_dir.glob("*.pt")):
+                trend = parse_trend(data_file)
+                eta = parse_eta(data_file)
+                if trend not in trends:
+                    continue
+                if include_eta and eta not in include_eta:
+                    continue
+                if eta in exclude_eta:
+                    continue
+                yield dynamic_type, topology_type, topology_dir.name, trend, eta, data_file
+
+
+def load_raw_state(data_file):
+    from ..utils.io import load_pt
+
+    record = load_pt(data_file)
+    if not isinstance(record, dict) or "ys_dynamic" not in record or "ts_dynamic" not in record:
+        raise ValueError(f"{data_file} must contain ys_dynamic and ts_dynamic.")
+    ys = np.asarray(record["ys_dynamic"], np.float32)
+    ts = np.asarray(record["ts_dynamic"], np.float32)
+    if ys.ndim != 2:
+        raise ValueError(f"{data_file} ys_dynamic must have shape [T, Node], got {ys.shape}.")
+    return ts, ys.mean(axis=1)
+
+
+def locate_transition(time, state_mean, dynamic_type, trend) -> dict:
+    """Transition locator (mpv_collapse_summary.py:213-252): SIS uses a
+    rolling-mean threshold crossing; others the max windowed state change."""
+    time = np.asarray(time, float)
+    state_mean = np.asarray(state_mean, float)
+    n = len(state_mean)
+    if n < 2 * MIN_TRANSITION_WINDOW + 1:
+        return {"is_transition": False, "skip_reason": "too_short"}
+
+    if dynamic_type == "SIS":
+        window_size = min(10, n)
+        rolling = np.array(
+            [np.mean(state_mean[i : i + window_size]) for i in range(n - window_size)]
+        )
+        if trend == "increase":
+            candidates = np.argwhere(rolling > SIS_THRESHOLD).flatten()
+        else:
+            candidates = np.argwhere(rolling < SIS_THRESHOLD).flatten()
+        idx = int(candidates[0]) if len(candidates) else int(np.argmax(np.abs(np.diff(state_mean))))
+        method = "sis_threshold" if len(candidates) else "sis_max_diff_fallback"
+    else:
+        window_size = min(10, n - 1)
+        score = np.abs(state_mean[window_size:] - state_mean[:-window_size]) / window_size
+        if len(score) == 0:
+            return {"is_transition": False, "skip_reason": "too_short_for_change_score"}
+        idx = int(np.argmax(score))
+        method = "max_window_change"
+
+    window = max(MIN_TRANSITION_WINDOW, min(n // 20, 100))
+    before = state_mean[max(0, idx - window) : idx]
+    after = state_mean[idx : min(n, idx + window)]
+    pre_mean = float(np.nanmean(before)) if len(before) else np.nan
+    post_mean = float(np.nanmean(after)) if len(after) else np.nan
+    state_change = (
+        abs(post_mean - pre_mean) if np.isfinite(pre_mean) and np.isfinite(post_mean) else np.nan
+    )
+    state_range = float(np.nanmax(state_mean) - np.nanmin(state_mean))
+    change_ratio = state_change / state_range if state_range > 0 and np.isfinite(state_change) else np.nan
+    return {
+        "is_transition": True,
+        "skip_reason": "",
+        "transition_time": float(time[idx]),
+        "transition_index": idx,
+        "transition_method": method,
+        "state_change": state_change,
+        "state_change_ratio": change_ratio,
+    }
+
+
+def compute_local_slopes(time_points, values, window_points):
+    """Trailing-window OLS slopes (mpv_collapse_summary.py:255-281)."""
+    time_points = np.asarray(time_points, float)
+    values = np.asarray(values, float)
+    window_points = max(3, min(int(window_points), len(values)))
+    if len(values) < window_points:
+        return np.asarray([], float), np.asarray([], float)
+    slope_times, slopes = [], []
+    for end in range(window_points, len(values) + 1):
+        x = time_points[end - window_points : end]
+        y = values[end - window_points : end]
+        finite = np.isfinite(x) & np.isfinite(y)
+        if finite.sum() < 3:
+            continue
+        x, y = x[finite], y[finite]
+        xc = x - np.mean(x)
+        denom = np.sum(xc * xc)
+        if denom <= 0:
+            continue
+        slope_times.append(float(time_points[end - 1]))
+        slopes.append(float(np.sum(xc * (y - np.mean(y))) / denom))
+    return np.asarray(slope_times, float), np.asarray(slopes, float)
+
+
+def slope_metrics_from_mpv(slope_times, slopes, transition_time) -> dict:
+    """(mpv_collapse_summary.py:284-311)"""
+    slope_times = np.asarray(slope_times, float)
+    slopes = np.asarray(slopes, float)
+    finite = np.isfinite(slope_times) & np.isfinite(slopes)
+    slope_times, slopes = slope_times[finite], slopes[finite]
+    if len(slopes) < 1:
+        return {}
+    pre = np.flatnonzero(slope_times < transition_time)
+    if len(pre):
+        i = int(pre[int(np.nanargmin(slopes[pre]))])
+        min_pre, min_pre_time = float(slopes[i]), float(slope_times[i])
+    else:
+        min_pre = min_pre_time = np.nan
+    gi = int(np.nanargmin(slopes))
+    return {
+        "min_slope_before_transition": min_pre,
+        "min_slope_before_transition_time": min_pre_time,
+        "min_slope_global": float(slopes[gi]),
+        "min_slope_global_time": float(slope_times[gi]),
+        "slope_lead_time": float(transition_time - float(slope_times[gi])),
+    }
+
+
+def metric_row_from_mpv(time_points, mpv_values, transition_time, slope_window_points=None) -> dict:
+    """Baseline/drop/lead-time metrics for one trajectory
+    (mpv_collapse_summary.py:313-369)."""
+    time_points = np.asarray(time_points, float)
+    mpv_values = np.asarray(mpv_values, float)
+    finite = np.isfinite(time_points) & np.isfinite(mpv_values)
+    time_points, mpv_values = time_points[finite], mpv_values[finite]
+    if len(mpv_values) < 3:
+        return {"skip_reason": "too_few_mpv_points"}
+    pre_indices = np.flatnonzero(time_points < transition_time)
+    if len(pre_indices) < 3:
+        return {"skip_reason": "too_few_pre_transition_mpv_points"}
+    start = int(np.floor(len(pre_indices) * BASELINE_FRACTION_RANGE[0]))
+    end = int(np.ceil(len(pre_indices) * BASELINE_FRACTION_RANGE[1]))
+    end = max(start + 1, min(end, len(pre_indices)))
+    baseline_mpv = float(np.nanmean(mpv_values[pre_indices[start:end]]))
+    if not np.isfinite(baseline_mpv) or baseline_mpv <= 0:
+        return {"skip_reason": "invalid_baseline_mpv"}
+    pre_values = mpv_values[pre_indices]
+    min_pre_idx = int(pre_indices[int(np.nanargmin(pre_values))])
+    min_global_idx = int(np.nanargmin(mpv_values))
+    metrics = {
+        "baseline_mpv": baseline_mpv,
+        "baseline_start_time": float(time_points[pre_indices[start]]),
+        "baseline_end_time": float(time_points[pre_indices[end - 1]]),
+        "min_mpv_before_transition": float(mpv_values[min_pre_idx]),
+        "min_mpv_before_transition_time": float(time_points[min_pre_idx]),
+        "min_mpv_global": float(mpv_values[min_global_idx]),
+        "pre_transition_drop_percent": 100.0 * (baseline_mpv - float(mpv_values[min_pre_idx])) / baseline_mpv,
+        "global_drop_percent": 100.0 * (baseline_mpv - float(mpv_values[min_global_idx])) / baseline_mpv,
+        "global_min_mpv_time": float(time_points[min_global_idx]),
+        "lead_time": float(transition_time - float(time_points[min_global_idx])),
+        "skip_reason": "",
+    }
+    if slope_window_points is not None:
+        slope_times, slopes = compute_local_slopes(time_points, mpv_values, slope_window_points)
+        metrics.update(slope_metrics_from_mpv(slope_times, slopes, transition_time))
+        metrics["slope_times"] = slope_times
+        metrics["slopes"] = slopes
+    return metrics
+
+
+def summarize_metric(values) -> dict:
+    arr = np.asarray([v for v in values if np.isfinite(v)], float)
+    if len(arr) == 0:
+        return {"n_valid": 0, "mean": np.nan, "std": np.nan, "median": np.nan,
+                "q25": np.nan, "q75": np.nan}
+    return {
+        "n_valid": int(len(arr)),
+        "mean": float(np.nanmean(arr)),
+        "std": float(np.nanstd(arr, ddof=1)) if len(arr) > 1 else 0.0,
+        "median": float(np.nanmedian(arr)),
+        "q25": float(np.nanpercentile(arr, 25)),
+        "q75": float(np.nanpercentile(arr, 75)),
+    }
+
+
+def build_summary_rows(sample_rows) -> list:
+    valid = [r for r in sample_rows if str(r.get("skip_reason", "")) == ""]
+    grouped = defaultdict(list)
+    for row in valid:
+        grouped[(row.get("dynamic_type", ""), row.get("topology_type", ""), row.get("trend", ""))].append(row)
+    out = []
+    for (dynamic_type, topology_type, trend), rows in sorted(grouped.items()):
+        for metric in METRICS:
+            stats = summarize_metric([as_float_or_nan(r.get(metric)) for r in rows])
+            out.append({"dynamic_type": dynamic_type, "topology_type": topology_type,
+                        "trend": trend, "metric": metric, **stats})
+    return out
+
+
+def _format(value, digits=2):
+    value = as_float_or_nan(value)
+    return "NA" if not np.isfinite(value) else f"{value:.{digits}f}"
+
+
+def build_metric_matrix(summary_rows, metric):
+    """mean +/- std matrix per (dynamics x topology-type x trend)
+    (mpv_collapse_summary.py:617-658)."""
+    by_key = {(r["dynamic_type"], r["topology_type"], r["trend"], r["metric"]): r
+              for r in summary_rows}
+    pairs = [(t, tr) for t in TOPOLOGY_TYPES for tr in TRENDS]
+    fields = ["dynamic_type"] + [f"{t} | {tr}" for t, tr in pairs]
+    dynamics = [d for d in DATASETS if any(r["dynamic_type"] == d for r in summary_rows)]
+    suffix = "%" if metric.endswith("percent") else ""
+    rows = []
+    for d in dynamics:
+        out = {"dynamic_type": d}
+        for t, tr in pairs:
+            key = (d, t, tr, metric)
+            if key in by_key and int(by_key[key]["n_valid"]) > 0:
+                s = by_key[key]
+                out[f"{t} | {tr}"] = f"{_format(s['mean'])}{suffix} +/- {_format(s['std'])}{suffix}"
+            else:
+                out[f"{t} | {tr}"] = ""
+        rows.append(out)
+    return fields, rows
+
+
+def write_csv(path, rows, fields):
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with path.open("w", newline="", encoding="utf-8") as f:
+        writer = csv.DictWriter(f, fieldnames=list(fields))
+        writer.writeheader()
+        for row in rows:
+            writer.writerow({field: row.get(field, "") for field in fields})
+
+
+def _empty_row(dynamic_type, topology_type, topology, trend, data_file, reason):
+    row = {f: "" for f in SAMPLE_FIELDS}
+    row.update(dynamic_type=dynamic_type, topology_type=topology_type, topology=topology,
+               trend=trend, data_file=str(data_file), is_transition=False, skip_reason=reason)
+    return row
+
+
+def analyze_file(args, dynamic_type, topology_type, topology, trend, eta, data_file) -> dict:
+    """Per-trajectory analysis driver (mpv_collapse_summary.py:482-571)."""
+    try:
+        time, state_mean = load_raw_state(data_file)
+        transition = locate_transition(time, state_mean, dynamic_type, trend)
+    except Exception as exc:
+        return _empty_row(dynamic_type, topology_type, topology, trend, data_file,
+                          f"raw_error:{exc}")
+    row = _empty_row(dynamic_type, topology_type, topology, trend, data_file,
+                     transition.get("skip_reason", ""))
+    row.update(transition_time=transition.get("transition_time", ""),
+               is_transition=bool(transition.get("is_transition", False)))
+    if not transition.get("is_transition", False):
+        return row
+    model_dir = Path(args.ews_root) / "model_compare" / args.model_name / dynamic_type
+    if not model_dir.exists():
+        row.update(is_transition=False, skip_reason=f"missing_model_dir:{model_dir}")
+        return row
+    if args.dry_run:
+        row.update(skip_reason="dry_run_no_model_call")
+        return row
+    try:
+        gx_cache_dir = Path(args.ews_root) / "statistics_dataset" / dynamic_type / topology
+        result = uncertainty_ews(
+            model_save_file=model_dir, data_file=data_file, dynamic_type=dynamic_type,
+            cache_path=model_dir, nsdiff_g_path=gx_cache_dir, uncertainty_method="gx",
+            pred_dim=args.pred_dim, force_recompute=args.force_recompute,
+        )
+        slope_window_points = max(3, int(round(float(result["windows"]) * args.slope_window_ratio)))
+        metrics = metric_row_from_mpv(
+            result["time_points"], result["ews"],
+            transition_time=float(transition["transition_time"]),
+            slope_window_points=slope_window_points,
+        )
+    except Exception as exc:
+        row.update(is_transition=False, skip_reason=f"mpv_error:{exc}")
+        return row
+    if metrics.get("skip_reason"):
+        row.update(is_transition=False, skip_reason=metrics["skip_reason"])
+        return row
+    metrics.pop("slope_times", None)
+    metrics.pop("slopes", None)
+    row["mpv_time"] = np.asarray(result["time_points"], float)
+    row["mpv_values"] = np.asarray(result["ews"], float)
+    row.update(metrics)
+    row.update(skip_reason="", mpv_cache_path=result.get("cache_path", ""))
+    return row
+
+
+def summary_fields():
+    return ["dynamic_type", "topology_type", "trend", "metric", "n_valid", "mean",
+            "std", "median", "q25", "q75"]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="MPV collapse summary tables")
+    parser.add_argument("--ews-root", type=Path, default=EWS_ROOT)
+    parser.add_argument("--source-root", type=Path, default=SOURCE_ROOT)
+    parser.add_argument("--output-dir", type=Path, default=OUTPUT_ROOT / "mpv_collapse")
+    parser.add_argument("--model-name", default="NsDiff")
+    parser.add_argument("--dynamics", nargs="+", default=list(DATASETS))
+    parser.add_argument("--trends", nargs="+", default=list(TRENDS))
+    parser.add_argument("--topology", nargs="+", default=None)
+    parser.add_argument("--topology-type", nargs="+", default=None)
+    parser.add_argument("--eta", nargs="+", default=None)
+    parser.add_argument("--exclude-eta", nargs="+", default=list(DEFAULT_EXCLUDE_ETA))
+    parser.add_argument("--pred-dim", type=int, default=0)
+    parser.add_argument("--slope-window-ratio", type=float, default=0.25)
+    parser.add_argument("--force-recompute", action="store_true")
+    parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument("--max-files", type=int, default=None)
+    parser.add_argument("--samples-csv", default="mpv_collapse_samples.csv")
+    parser.add_argument("--summary-csv", default="mpv_collapse_summary.csv")
+    args = parser.parse_args(argv)
+
+    files = list(iter_data_files(
+        args.source_root, args.dynamics, args.trends, args.topology,
+        args.topology_type, args.eta, args.exclude_eta,
+    ))
+    if args.max_files is not None:
+        files = files[: args.max_files]
+    sample_rows = [analyze_file(args, *info) for info in files]
+    summary_rows = build_summary_rows(sample_rows)
+    output_dir = Path(args.output_dir)
+    write_csv(output_dir / args.samples_csv, sample_rows, SAMPLE_FIELDS)
+    write_csv(output_dir / args.summary_csv, summary_rows, summary_fields())
+    for metric in METRICS:
+        fields, rows = build_metric_matrix(summary_rows, metric)
+        write_csv(output_dir / f"mpv_collapse_{metric}.csv", rows, fields)
+    print(f"scanned_files: {len(files)}")
+    print(f"valid_rows: {sum(1 for r in sample_rows if str(r.get('skip_reason', '')) == '')}")
+    print(f"samples_csv: {output_dir / args.samples_csv}")
+    print(f"summary_csv: {output_dir / args.summary_csv}")
+
+
+if __name__ == "__main__":
+    main()
