@@ -53,6 +53,21 @@ class TMDMModel(DiffusionWrapperBase):
         self.d_model = p.get("d_model", 64)
         self.target_len = self.label_len + self.pred_len
 
+        # optional tmdm.yml-style config file (TMDM.py:30-40): net_param keys
+        # override the yaml's diffusion section, exactly like the reference
+        if p.get("diffusion_config_dir"):
+            import yaml
+
+            with open(p["diffusion_config_dir"], "r") as f:
+                dcfg = yaml.safe_load(f)
+            diff = dcfg.get("diffusion", {})
+            p.setdefault("beta_schedule", diff.get("beta_schedule", "linear"))
+            p.setdefault("beta_start", diff.get("beta_start", 1e-4))
+            p.setdefault("beta_end", diff.get("beta_end", 2e-2))
+            model_cfg = dcfg.get("model", {})
+            p.setdefault("cat_x", model_cfg.get("cat_x", True))
+            p.setdefault("cat_y_pred", model_cfg.get("cat_y_pred", True))
+
         self.sched = card_schedule(
             p.get("beta_schedule", "linear"),
             self.diffusion_steps,
