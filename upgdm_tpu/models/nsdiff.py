@@ -60,6 +60,14 @@ class NsDiffModel(DiffusionWrapperBase):
         self.has_f = has_f
         self.has_g = has_g
         self.wo_uans = wo_uans
+        # Fused Pallas denoiser for the reverse scan: ON for TPU backends,
+        # OFF on CPU (where the interpreter would be needed); overridable via
+        # net_param["use_pallas_denoiser"].
+        self.use_pallas_denoiser = p.get("use_pallas_denoiser")
+        if self.use_pallas_denoiser is None:
+            import jax as _jax
+
+            self.use_pallas_denoiser = _jax.default_backend() not in ("cpu",)
 
         self.sched = NsDiffSchedule.create(
             p.get("diffusion_schedule", "linear"),
@@ -222,9 +230,17 @@ class NsDiffModel(DiffusionWrapperBase):
         if self.has_g:
             gx = gx + EPS
 
-        def model_fn(y, t):
-            tb = jnp.broadcast_to(jnp.asarray(t), (y.shape[0],))
-            return self.denoiser.apply({"params": params["model"]}, y, y0_hat, gx, tb)
+        if self.use_pallas_denoiser:
+            from ..ops.pallas.fused_denoiser import fused_nsdiff_denoiser
+
+            def model_fn(y, t):
+                return fused_nsdiff_denoiser(params["model"], y, y0_hat, gx, t)
+
+        else:
+
+            def model_fn(y, t):
+                tb = jnp.broadcast_to(jnp.asarray(t), (y.shape[0],))
+                return self.denoiser.apply({"params": params["model"]}, y, y0_hat, gx, tb)
 
         def one_sample(k):
             return D.nsdiff_p_sample_loop(

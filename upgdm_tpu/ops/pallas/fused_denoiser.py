@@ -1,0 +1,144 @@
+"""Pallas TPU kernel: fused NsDiff conditional-MLP denoiser step.
+
+The innermost op of the NsDiff reverse-diffusion scan is the ConditionalLinear
+MLP (models/denoise.py): for every (sample, window-row, horizon-step) the
+trunk runs
+
+    h = l2norm(softplus(gamma1 * (x @ W1 + b1)))
+    h = l2norm(softplus(gamma2 * (h @ W2 + b2)))
+    h = l2norm(softplus(gamma3 * (h @ W3 + b3)))
+    eps = h @ W4 + b4 ; sigma = softplus(softplus(h) @ Ws + bs)
+
+With the full MPV sweep batched (samples x windows x nodes x horizon rows),
+the activation matrix is ~10^6 x 128 per step; unfused, each of the three
+trunk layers round-trips that matrix through HBM.  This kernel keeps the
+activation tile resident in VMEM across ALL layers and heads: HBM traffic
+drops to one [TILE, 3F] read + two [TILE, F] writes per tile.
+
+Weights (3F x 128, 2x 128 x 128, 2x 128 x F, biases, and the per-timestep
+embedding gates gathered OUTSIDE the kernel) total < 100 KB — they sit in VMEM
+for every grid step.  Tiles are (TILE_M, 128)-aligned per the MXU/VPU layout
+rules (pallas_guide.md).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+TILE_M = 512
+HIDDEN = 128
+_EPS_NORM = 1e-12
+
+
+def _kernel(x_ref, g1_ref, g2_ref, g3_ref,
+            w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+            w4_ref, b4_ref, ws_ref, bs_ref,
+            eps_ref, sigma_ref):
+    # vectors (biases, timestep gates) arrive as (1, n) rows — broadcast-ready
+    x = x_ref[:]
+
+    def layer(h, w_ref, b_ref, g_ref):
+        out = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+        out = g_ref[:] * (out + b_ref[:])
+        out = jax.nn.softplus(out)
+        norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True))
+        return out / jnp.maximum(norm, _EPS_NORM)
+
+    h = layer(x, w1_ref, b1_ref, g1_ref)
+    h = layer(h, w2_ref, b2_ref, g2_ref)
+    h = layer(h, w3_ref, b3_ref, g3_ref)
+    eps_ref[:] = jnp.dot(h, w4_ref[:], preferred_element_type=jnp.float32) + b4_ref[:]
+    hs = jax.nn.softplus(h)
+    sigma_ref[:] = jax.nn.softplus(
+        jnp.dot(hs, ws_ref[:], preferred_element_type=jnp.float32) + bs_ref[:]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_denoiser_rows(x, gammas, weights, interpret: bool = False):
+    """x: [M, 3F] concat(y_t, y0_hat, gx) rows -> (eps [M, F], sigma [M, F]).
+
+    gammas: (g1, g2, g3) per-timestep embedding rows, each [HIDDEN]
+    (already gathered for the current scalar t).
+    weights: (W1, b1, W2, b2, W3, b3, W4, b4, Ws, bs).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, in_dim = x.shape
+    F = weights[6].shape[1]
+    m_pad = (-M) % TILE_M
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = x.shape[0]
+    # promote all vectors to (1, n) rows for TPU-friendly 2-D layouts
+    g1, g2, g3 = (jnp.atleast_2d(g) for g in gammas)
+    weights = tuple(jnp.atleast_2d(w) if w.ndim == 1 else w for w in weights)
+
+    vmem = dict(memory_space=pltpu.VMEM) if not interpret else {}
+    row_spec = pl.BlockSpec((TILE_M, in_dim), lambda i: (i, 0), **vmem)
+    out_spec = pl.BlockSpec((TILE_M, F), lambda i: (i, 0), **vmem)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), **vmem)
+
+    eps, sigma = pl.pallas_call(
+        _kernel,
+        grid=(Mp // TILE_M,),
+        in_specs=[
+            row_spec,
+            full(g1.shape), full(g2.shape), full(g3.shape),
+            full(weights[0].shape), full(weights[1].shape),
+            full(weights[2].shape), full(weights[3].shape),
+            full(weights[4].shape), full(weights[5].shape),
+            full(weights[6].shape), full(weights[7].shape),
+            full(weights[8].shape), full(weights[9].shape),
+        ],
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, F), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, F), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, g1, g2, g3, *weights)
+    if m_pad:
+        eps, sigma = eps[:M], sigma[:M]
+    return eps, sigma
+
+
+def denoiser_weights_from_params(params_model) -> tuple:
+    """Extract (W..., b...) tuples from the NsDiffDenoiser flax params."""
+    p = params_model
+    return (
+        p["lin1"]["Dense_0"]["kernel"], p["lin1"]["Dense_0"]["bias"],
+        p["lin2"]["Dense_0"]["kernel"], p["lin2"]["Dense_0"]["bias"],
+        p["lin3"]["Dense_0"]["kernel"], p["lin3"]["Dense_0"]["bias"],
+        p["lin4"]["kernel"], p["lin4"]["bias"],
+        p["sigma_lin"]["kernel"], p["sigma_lin"]["bias"],
+    )
+
+
+def denoiser_gammas_from_params(params_model, t):
+    """Per-timestep embedding gates (g1, g2, g3), each [HIDDEN], for scalar t."""
+    return (
+        params_model["lin1"]["embed"][t],
+        params_model["lin2"]["embed"][t],
+        params_model["lin3"]["embed"][t],
+    )
+
+
+def fused_nsdiff_denoiser(params_model, y_t, y_0_hat, g_x, t, interpret: bool = False):
+    """Drop-in equivalent of NsDiffDenoiser.apply for scalar timestep t.
+
+    y_t / y_0_hat / g_x: [..., O, F]; t: scalar int. Returns (eps, sigma)
+    with the input shape.
+    """
+    x = jnp.concatenate([y_t, y_0_hat, g_x], axis=-1)
+    lead_shape = x.shape[:-1]
+    F = y_t.shape[-1]
+    rows = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    gammas = denoiser_gammas_from_params(params_model, t)
+    weights = denoiser_weights_from_params(params_model)
+    eps, sigma = fused_denoiser_rows(rows, gammas, weights, interpret=interpret)
+    return eps.reshape(lead_shape + (F,)), sigma.reshape(lead_shape + (F,))
