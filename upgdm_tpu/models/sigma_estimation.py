@@ -32,9 +32,10 @@ class SigmaEstimation(nn.Module):
         sigma = sigma[:, -(T - self.kernel_size) :, :] + 10e-8
         h = sigma.transpose(0, 2, 1)  # [B, N, T - kernel]
         h = nn.relu(nn.Dense(self.hidden_size)(h))
-        h = nn.LayerNorm(reduction_axes=(-2, -1))(h)  # over [enc_in, hidden]
+        # torch LayerNorm([enc_in, hidden]): normalise AND affine over both dims
+        h = nn.LayerNorm(reduction_axes=(-2, -1), feature_axes=(-2, -1))(h)
         h = nn.relu(nn.Dense(self.hidden_size)(h))
-        h = nn.LayerNorm(reduction_axes=(-2, -1))(h)
+        h = nn.LayerNorm(reduction_axes=(-2, -1), feature_axes=(-2, -1))(h)
         h = nn.Dense(self.pred_len)(h)
         pred_sigma = nn.softplus(h).transpose(0, 2, 1)  # [B, pred_len, N]
         return pred_sigma[:, -self.pred_len :, :]
