@@ -1,0 +1,133 @@
+"""Tiny end-to-end train+sample checks for TMDM, DiffusionTS, DiffSTG, the
+NsDiff variants/spatial family, and DP training on the 8-device mesh."""
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _series_batch(n=24, T=24, F=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.normal(size=(n, T, F)) * 0.1).astype(np.float32).cumsum(axis=1)
+
+
+TINY_COMMON = dict(
+    dataset_nf=2, windows=16, pred_len=8, scaler_type="StandardScaler",
+    d_model=16, n_heads=2, e_layers=1, d_layers=1, d_ff=16,
+    p_hidden_dims=[8, 8], p_hidden_layers=2,
+)
+
+
+def test_tmdm_end_to_end(tmp_path):
+    from upgdm_tpu.train.loop import run_training
+
+    net_param = dict(TINY_COMMON, task_model="TMDM", diffusion_steps=5, n_z_samples=4)
+    data = _series_batch()
+    rs = run_training(
+        data[:16], data[16:],
+        dict(train_model_select=None, train_batch_size=8, val_batch_size=8,
+             train_epochs=2, test_set=True, ckpt=False, ckpt_period=2),
+        net_param, {}, dict(optimizer_name="Adam", lr=1e-3), tmp_path,
+    )
+    assert len(rs["train_scores"]) == 2
+    assert np.isfinite(rs["train_scores"]).all()
+    from upgdm_tpu.eval.uncertainty import load_model_from_dir
+    from upgdm_tpu.utils.io import save_config_yaml
+
+    save_config_yaml(
+        tmp_path / "trained_model/model_trained.yaml",
+        {"dataset": {"windows": 16, "pred_len": 8, "sampling_t": 0.1},
+         "train": {"train_model_select": None}, "net": net_param},
+    )
+    model, _np = load_model_from_dir(tmp_path / "trained_model")
+    outs, by = model.evaluation_step(data[:2])
+    assert outs.shape == (2, 8, 2, 4)
+
+
+def test_diffusionts_end_to_end(tmp_path):
+    from upgdm_tpu.train.loop import run_training
+    from upgdm_tpu.models.diffusionts import DiffusionTSModel
+
+    net_param = dict(
+        TINY_COMMON, task_model="DiffusionTS", diffusion_steps=4, timesteps=8,
+        n_layer_enc=1, n_layer_dec=2, n_z_samples=3,
+    )
+    data = _series_batch()
+    rs = run_training(
+        data[:16], data[16:],
+        dict(train_model_select=None, train_batch_size=8, val_batch_size=8,
+             train_epochs=2, test_set=True, ckpt=False),
+        net_param, {}, dict(optimizer_name="Adam", lr=1e-3), tmp_path,
+    )
+    assert np.isfinite(rs["train_scores"]).all()
+    m = DiffusionTSModel(net_param)
+    outs, _ = m.evaluation_step(data[:2])
+    assert outs.shape == (2, 8, 2, 3)
+    # unconditional generation path
+    import jax
+
+    gen = m.generate_mts_fn(m.params, jax.random.key(0), batch_size=2)
+    assert np.asarray(gen).shape == (2, 24, 2)
+
+
+def test_diffstg_training_with_mixed_graphs(tmp_path):
+    from upgdm_tpu.train.loop import run_training
+
+    rng = np.random.default_rng(0)
+    V, n = 6, 20
+    x = (rng.normal(size=(n, V, 16, 1)) * 0.1).astype(np.float32).cumsum(axis=2)
+    adjs = rng.integers(0, 2, size=(2, V, V)).astype(np.float32)
+    adjs = ((adjs + adjs.transpose(0, 2, 1)) > 0).astype(np.float32)
+    gids = rng.integers(0, 2, size=(n,)).astype(np.int32)
+    net_param = dict(
+        T_h=8, T_p=8, F=1, diffusion_steps=20, inference_diffusion_steps=3,
+        inference_trick="ddim", inference_schedule="cosine",
+        diffusion_schedule="linear", scaler_type="StandardScaler", d_h=4, Td_h=6,
+        channel_multipliers=[1, 2], n_blocks=1, gnn_name="GCNConv",
+        parallel_sampling=2, sequential_sampling=1, mask_ratio=0.1,
+        init_num_nodes=V, task_model="DiffSTG",
+    )
+    rs = run_training(
+        x[:16], x[16:],
+        dict(train_model_select=None, train_batch_size=8, val_batch_size=8,
+             train_epochs=2, test_set=True, ckpt=False),
+        net_param, {}, dict(optimizer_name="Adam", lr=1e-3), tmp_path,
+        adj=(adjs, gids[:16], gids[16:]),
+    )
+    assert np.isfinite(rs["train_scores"]).all()
+
+
+def test_nsdiff_variants():
+    from upgdm_tpu.models.factory import diffusion_models
+
+    data = _series_batch(8)
+    for variant in ("Guassian", "cond_mean", "cond_var", "wo_UANS"):
+        m = diffusion_models(
+            "NsDiff_model_variants",
+            dict(TINY_COMMON, task_model="NsDiff_model_variants", rolling_length=4,
+                 diffusion_steps=4, n_z_samples=2),
+            train_model_select=variant,
+        )
+        loss = float(m.training_step(data))
+        assert np.isfinite(loss)
+        outs, _ = m.evaluation_step(data[:2])
+        assert outs.shape == (2, 8, 2, 2)
+
+
+def test_dp_run_training(tmp_path):
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from upgdm_tpu.train.loop import run_training
+
+    net_param = dict(TINY_COMMON, task_model="NsDiff", rolling_length=4,
+                     diffusion_steps=4, n_z_samples=2)
+    data = _series_batch(32)
+    rs = run_training(
+        data[:24], data[24:],
+        dict(train_model_select="NsDiff_model", train_batch_size=16, val_batch_size=8,
+             train_epochs=2, test_set=True, ckpt=False, dataparallel=True),
+        net_param, {}, dict(optimizer_name="Adam", lr=1e-3), tmp_path,
+    )
+    assert np.isfinite(rs["train_scores"]).all()

@@ -110,6 +110,17 @@ def run_training(
     records_path.mkdir(parents=True, exist_ok=True)
     trainset = np.asarray(trainset, dtype=np.float32)
     validationset = np.asarray(validationset, dtype=np.float32)
+    # DataParallel replacement (train_diffusion_spdata_dataparallel.py:19-188):
+    # batch axis sharded over a 'dp' mesh, params replicated, XLA-inserted
+    # gradient all-reduce.  Enabled by train_param dataparallel/dataparallel_set.
+    dp_mesh = None
+    if train_param.get("dataparallel") or train_param.get("dataparallel_set"):
+        import jax as _jax
+
+        if len(_jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+
+            dp_mesh = make_mesh()
     select = train_param.get("train_model_select")
     if select == "NsDiff_model":
         select_for_loss = None  # model default
@@ -143,7 +154,12 @@ def run_training(
     tx = make_optimizer(opt_param, trainable_mask=mask)
     params = model.params
     opt_state = tx.init(params)
-    train_step = make_train_step(model, tx, select_for_loss, with_adj)
+    if dp_mesh is not None and adj is None:
+        from ..parallel.data_parallel import make_dp_train_step
+
+        train_step = make_dp_train_step(model, tx, dp_mesh, select=select_for_loss)
+    else:
+        train_step = make_train_step(model, tx, select_for_loss, with_adj)
     adjs = train_gids = val_gids = None
     if with_adj:
         if isinstance(adj, tuple):
@@ -189,6 +205,13 @@ def run_training(
             for idx in _batches(
                 trainset.shape[0], train_param["train_batch_size"], True, np_rng
             ):
+                if dp_mesh is not None:
+                    # dp shards need divisible batches; drop the ragged tail
+                    n_dev = dp_mesh.devices.size
+                    usable = len(idx) - len(idx) % n_dev
+                    if usable == 0:
+                        continue
+                    idx = idx[:usable]
                 batch = trainset[idx]
                 if model.scaler == "StandardScaler":
                     batch = model.scaler_transform(batch)
