@@ -146,3 +146,26 @@ def test_fig9_causal_moving_average():
     assert out[0, 0] == 0
     assert out[1, 0] == pytest.approx(0.5)
     assert out[5, 0] == pytest.approx((3 + 4 + 5) / 3)
+
+
+def test_compat_alias_module():
+    from upgdm_tpu.eval import diffusion_model_uncertainy as compat
+
+    assert hasattr(compat, "uncertainty_ews")
+    assert hasattr(compat, "slbp_mpv_analysis")
+    wins, tp = compat.build_sliding_windows(
+        np.zeros((2, 30, 1), np.float32), np.arange(30.0), 10, 5
+    )
+    assert len(wins) == 5 and wins[0].shape == (2, 10, 1)
+
+
+def test_graph_properties():
+    from upgdm_tpu.data.graphs import graph_properties
+
+    adj = np.zeros((5, 5))
+    for i, j in [(0, 1), (1, 2), (0, 2), (3, 4)]:
+        adj[i, j] = adj[j, i] = 1
+    mask = np.ones(5, bool)
+    assert graph_properties(adj, mask, "LCC") == 3.0
+    assert graph_properties(adj, mask, "global_CC") == 1.0
+    assert 0 < graph_properties(adj, mask, "density") < 1

@@ -192,6 +192,59 @@ def grid_search(
         save_record(grid_search_path / "all_models_record_statistic.json", stats)
 
 
+def parallel_grid_search(
+    dataset_params, train_params, net_params, loss_params, optimizer_params,
+    records_path, build_dataset: Callable, spdata: bool = False, processes: int = 2,
+):
+    """Process-parallel grid search (main_SSLtrain_diffusion_spdata.py:263-336 —
+    implemented there but disabled at the call site; same here: sequential
+    ``grid_search`` is the default, this is the opt-in variant).
+
+    Each config runs in its own process (JAX state does not fork-share), so
+    XLA compilations proceed concurrently on multi-core hosts.
+    """
+    import multiprocessing as mp
+
+    expand = (
+        grid_parameters_generative_learning_spdata
+        if spdata
+        else grid_parameters_generative_learning
+    )
+    jobs = []
+    for values in it.product(*dataset_params.values()):
+        dataset_param = dict(zip(dataset_params.keys(), values))
+        parameters_list, _hp = expand(train_params, net_params, loss_params, optimizer_params)
+        for i, cfg in enumerate(parameters_list):
+            jobs.append((dataset_param, cfg, i))
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(processes=processes) as pool:
+        results = pool.starmap(
+            _parallel_one_config,
+            [(records_path, dataset_param, cfg, i, build_dataset, spdata)
+             for dataset_param, cfg, i in jobs],
+        )
+    return dict(results)
+
+
+def _parallel_one_config(records_path, dataset_param, cfg, configs_count, build_dataset, spdata):
+    train_param, net_param, loss_param, optimizer_param = cfg
+    dataset, adj_bundle, nf = build_dataset(dataset_param)
+    if "DiffSTG" in net_param["task_model"]:
+        net_param.update(T_h=dataset_param["windows"], T_p=dataset_param["pred_len"], F=nf)
+    else:
+        net_param.update(windows=dataset_param["windows"], pred_len=dataset_param["pred_len"],
+                         dataset_nf=nf)
+    save_config_path = Path(records_path) / "grid_search" / f"config_{configs_count}"
+    save_config_path.mkdir(parents=True, exist_ok=True)
+    rs = hold_out_score(
+        dataset, train_param, net_param, loss_param, optimizer_param, save_config_path,
+        configs_counts=configs_count, adj_bundle=adj_bundle, dataset_param=dataset_param,
+        seed=configs_count,
+    )
+    return f"config_{configs_count}", rs
+
+
 def main_from_args(args, build_dataset: Callable, spdata: bool):
     with open(args.cfg, "r") as f:
         cfg = yaml.safe_load(f)

@@ -68,6 +68,29 @@ def generate_network(net_type: str, num_nodes: int, **params) -> DenseGraph:
     return DenseGraph(adj)
 
 
+def graph_properties(adj: np.ndarray, node_mask: np.ndarray, targets: str) -> float:
+    """Graph statistics of the masked subgraph (utils/utils.py:260-283):
+    LCC size, transitivity, average clustering, natural connectivity,
+    global efficiency, density."""
+    adj = np.asarray(adj)
+    keep = np.flatnonzero(np.asarray(node_mask))
+    sub = nx.from_numpy_array(adj[np.ix_(keep, keep)])
+    if targets == "LCC":
+        return float(len(max(nx.connected_components(sub), key=len))) if sub.number_of_nodes() else 0.0
+    if targets == "global_CC":
+        return float(nx.transitivity(sub))
+    if targets == "average_CC":
+        return float(nx.average_clustering(sub))
+    if targets == "natural_connectivity":
+        n = nx.number_of_nodes(sub)
+        return float(np.log(nx.estrada_index(sub) / n))
+    if targets == "global_efficiency":
+        return float(nx.global_efficiency(sub))
+    if targets == "density":
+        return float(nx.density(sub))
+    raise ValueError(f"Error fitness_func_type:{targets}")
+
+
 def save_graphml(g: nx.Graph, path):
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

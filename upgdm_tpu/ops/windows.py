@@ -114,6 +114,14 @@ def sliding_windows(
     return out, time_points
 
 
+def build_sliding_windows_compat(series, time_data, windows, sample_window_step):
+    """Reference-signature variant of :func:`sliding_windows` returning a
+    tuple of per-window [Node, W, F] arrays (diffusion_model_uncertainy.py:137-147
+    unbinds the window axis)."""
+    stacked, time_points = sliding_windows(series, time_data, windows, sample_window_step)
+    return tuple(stacked), time_points
+
+
 def sliding_window_count(sampled_length: int, windows: int, sample_window_step: int) -> int:
     if sampled_length < windows:
         return 0
