@@ -131,3 +131,26 @@ def test_slbp_raw_window_variance():
     assert len(res["variance"]) == n
     want = np.array([series[i * 50 : i * 50 + 100, 0].var() for i in range(n)])
     np.testing.assert_allclose(res["variance"], want, rtol=1e-4)
+
+
+def test_fast_mpv_sweep_matches_cache_path(trained_model_dir, tmp_path):
+    from upgdm_tpu.eval.uncertainty import (
+        batched_window_ensemble,
+        fast_mpv_sweep,
+        load_model_from_dir,
+        summarize_pred_future_list,
+    )
+
+    model, _np = load_model_from_dir(trained_model_dir)
+    rng = np.random.default_rng(5)
+    wins = (rng.normal(size=(6, 1, 16, 2)) * 0.1).astype(np.float32).cumsum(axis=2)
+
+    # same rng stream for both paths
+    model._rng_counter = 100
+    pred_list = batched_window_ensemble(model, wins.copy(), 8, chunk_windows=3)
+    pm, mpv_cache = summarize_pred_future_list(pred_list, model=model)
+
+    model._rng_counter = 100
+    mpv_fast, mean_fast = fast_mpv_sweep(model, wins.copy(), 8, chunk_windows=3)
+    np.testing.assert_allclose(mpv_fast, mpv_cache, rtol=2e-4)
+    np.testing.assert_allclose(mean_fast, pm, rtol=2e-3, atol=1e-4)

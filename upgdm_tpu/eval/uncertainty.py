@@ -340,6 +340,56 @@ def batched_window_ensemble(
     return out
 
 
+def fast_mpv_sweep(
+    model,
+    windows_array: np.ndarray,
+    pred_len: int,
+    chunk_windows: int = 8,
+) -> tuple:
+    """MPV sweep with the across-sample variance reduced ON DEVICE.
+
+    TPU-extra capability (not part of the reference API): when the `.pt`
+    ensemble cache is not needed, only two scalars per window leave the chip —
+    the mean predictive variance and the prediction mean (both inverse-scaled,
+    matching summarize_pred_future_list).  Returns (mpv [n], pred_mean [n]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, node, W, F = windows_array.shape
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    chunk = min(chunk_windows, n)
+    std = jnp.asarray(model.scaler_std if model.scaler is not None else np.ones(F, np.float32))
+    mean = jnp.asarray(model.scaler_mean if model.scaler is not None else np.zeros(F, np.float32))
+
+    @jax.jit
+    def chunk_summary(params, flat, key):
+        outs = model.sample_fn(params, flat, key)  # [chunk*node, O, F, S]
+        outs = outs[:, -pred_len:, :, :]
+        outs = outs * std[None, None, :, None] + mean[None, None, :, None]
+        var = outs.var(axis=-1)  # [chunk*node, O, F]
+        var = var.reshape(chunk, node, pred_len, F)
+        pm = outs.reshape(chunk, node, pred_len, F, -1)
+        return var.mean(axis=(1, 2, 3)), pm.mean(axis=(1, 2, 3, 4))
+
+    mpv_out, mean_out = [], []
+    for start in range(0, n, chunk):
+        block = windows_array[start : start + chunk]
+        valid = block.shape[0]
+        if valid < chunk:
+            block = np.concatenate(
+                [block, np.repeat(block[-1:], chunk - valid, axis=0)], axis=0
+            )
+        flat = block.reshape(chunk * node, W, F)
+        if model.scaler is not None:
+            flat = model.scaler_transform(flat)
+        v, m = chunk_summary(model.params, jnp.asarray(flat), model.next_key())
+        mpv_out.append(np.asarray(v)[:valid])
+        mean_out.append(np.asarray(m)[:valid])
+    return np.concatenate(mpv_out), np.concatenate(mean_out)
+
+
 def batched_gx(model, windows_array: np.ndarray, chunk_windows: int = 64) -> List[np.ndarray]:
     """gx for all windows in large fused batches: list of [Node, pred_len, F]."""
     import jax
