@@ -39,6 +39,13 @@ def main(argv=None):
     ap.add_argument("--pred-len", type=int, default=100)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--n-z-samples", type=int, default=100)
+    ap.add_argument(
+        "--stage", choices=["all", "data", "train", "scan"], default="all",
+        help="run one phase: data generation / 3-stage training / MPV scan. "
+             "Recommended: data+train on local CPU (fast compiles for the many "
+             "small train-step programs), scan on the TPU (the throughput-"
+             "critical batched sampling).",
+    )
     args = ap.parse_args(argv)
     out = args.out_dir
     out.mkdir(parents=True, exist_ok=True)
@@ -53,6 +60,9 @@ def main(argv=None):
             d_values=(1e-5,), burn_time=1000.0, dt=0.1, seed=0,
         )
     data_file = next(data_dir.rglob("*.pt"))
+    if args.stage == "data":
+        print("data stage done")
+        return
     record = load_pt(data_file)
     print(f"trajectory: {record['ys_dynamic'].shape} points", flush=True)
 
@@ -62,7 +72,9 @@ def main(argv=None):
     )
     dataset = pre_dataset_timeseries(**dataset_param)
     print(f"windows dataset: {dataset.shape}", flush=True)
-    n_train = int(len(dataset) * 0.9)
+    # uniform batch shapes: ONE compiled train step per stage
+    batch = 32
+    n_train = (int(len(dataset) * 0.9) // batch) * batch
     perm = np.random.default_rng(0).permutation(len(dataset))
     train, val = dataset[perm[:n_train]], dataset[perm[n_train:]]
 
@@ -77,8 +89,14 @@ def main(argv=None):
         output_attention=False, factor=3,
     )
     opt_param = dict(optimizer_name="Adam", lr=1e-3, weight_decay=1e-5, scheduler_set=False)
-    base_train = dict(train_batch_size=64, val_batch_size=64, test_set=True,
+    base_train = dict(train_batch_size=batch, val_batch_size=len(val), test_set=True,
                       ckpt=False, ckpt_period=10)
+
+    model_dir = out / "model"
+    if args.stage == "scan":
+        if not (model_dir / "model_trained").exists():
+            raise SystemExit("run --stage train first")
+        return run_scan(args, out, model_dir, data_file, record, t_start)
 
     stages = [
         ("pretrain_f", out / "pre_model_F", args.epochs),
@@ -111,12 +129,17 @@ def main(argv=None):
     print(f"  main: final train {rs['train_scores'][-1]:.4f} "
           f"val {rs['val_scores'][-1]:.4f} ({time.time()-t0:.0f}s)", flush=True)
 
-    model_dir = out / "model"
     model_dir.mkdir(exist_ok=True)
     shutil.copy(out / "nsdiff/trained_model/model_trained", model_dir / "model_trained")
     shutil.copy(out / "nsdiff/trained_model/model_trained.yaml",
                 model_dir / "model_trained.yaml")
+    if args.stage == "train":
+        print("train stage done")
+        return
+    return run_scan(args, out, model_dir, data_file, record, t_start)
 
+
+def run_scan(args, out, model_dir, data_file, record, t_start):
     # ---- 3. MPV early-warning scan ---------------------------------------
     print("running uncertainty_ews (sampling + gx) ...", flush=True)
     t0 = time.time()
