@@ -146,3 +146,23 @@ def test_vanilla_loop_mse(tmp_path):
     )
     assert rs["mse"]["train_scores"][-1] < rs["mse"]["train_scores"][0]
     assert (tmp_path / "model_trained").exists()
+
+
+def test_registries():
+    from upgdm_tpu.models.registries import GraphNorm, gnn_act, gnn_norm, gnn_pool
+
+    assert gnn_act("relu")(jnp.asarray([-1.0, 2.0]))[0] == 0
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 5, 4)).astype(np.float32))
+    mask = jnp.asarray([[True] * 5, [True, True, True, False, False]])
+    mean_pool = gnn_pool("global_mean_pool")
+    out = mean_pool(x, mask)
+    assert out.shape == (2, 4)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(x[1, :3].mean(axis=0)),
+                               rtol=1e-5)
+    add_pool = gnn_pool("sum")
+    np.testing.assert_allclose(np.asarray(add_pool(x)), np.asarray(x.sum(axis=1)), rtol=1e-5)
+    gn = gnn_norm("GraphNorm")
+    params = jax.jit(gn.init)(jax.random.key(0), x)
+    y = gn.apply(params, x, mask)
+    assert y.shape == x.shape
+    assert gnn_norm("identity")(x) is x
