@@ -154,3 +154,69 @@ def test_fast_mpv_sweep_matches_cache_path(trained_model_dir, tmp_path):
     mpv_fast, mean_fast = fast_mpv_sweep(model, wins.copy(), 8, chunk_windows=3)
     np.testing.assert_allclose(mpv_fast, mpv_cache, rtol=2e-4)
     np.testing.assert_allclose(mean_fast, pm, rtol=2e-3, atol=1e-4)
+
+
+def test_uncertainty_ews_diffstg_path(tmp_path):
+    """DiffSTG through the facade: graphml topology + dense eval + cache."""
+    import networkx as nx
+
+    from upgdm_tpu.data.graphs import save_graphml
+    from upgdm_tpu.models.diffstg import DiffSTGModel
+    from upgdm_tpu.eval.uncertainty import uncertainty_ews
+    from upgdm_tpu.utils.io import save_checkpoint, save_config_yaml, save_pt
+
+    V = 6
+    g = nx.erdos_renyi_graph(V, 0.5, seed=0)
+    graph_file = tmp_path / "graph.graphml"
+    save_graphml(g, graph_file)
+
+    net_param = dict(
+        T_h=8, T_p=8, F=1, windows=8, pred_len=8, dataset_nf=1, diffusion_steps=20,
+        inference_diffusion_steps=3, inference_trick="ddim", inference_schedule="cosine",
+        diffusion_schedule="linear", scaler_type="StandardScaler", d_h=4, Td_h=6,
+        channel_multipliers=[1, 2], n_blocks=1, gnn_name="GCNConv",
+        parallel_sampling=2, sequential_sampling=2, mask_ratio=0.0,
+        init_num_nodes=V, task_model="DiffSTG",
+    )
+    model = DiffSTGModel(net_param)
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    save_checkpoint(model_dir, "model_trained", model.state_dict(), net_param)
+    save_config_yaml(
+        model_dir / "model_trained.yaml",
+        {"dataset": {"windows": 8, "pred_len": 8, "sampling_t": 0.1, "interval_step": 10},
+         "train": {"train_model_select": None}, "net": net_param},
+    )
+    rng = np.random.default_rng(0)
+    rec_file = tmp_path / "SIS_dynamic_increase.pt"
+    save_pt(
+        {"ys_dynamic": (rng.normal(size=(60, V)) * 0.1).astype(np.float32),
+         "ts_dynamic": np.arange(60, dtype=np.float32) * 0.1,
+         "tp_values": np.zeros(60, np.float32)},
+        rec_file,
+    )
+    res = uncertainty_ews(
+        model_save_file=model_dir,
+        data_file=rec_file,
+        dynamic_type="SIS",
+        task_model="DiffSTG",
+        graph_file=graph_file,
+        cache_path=tmp_path / "cache.pt",
+        sample_window_step=10,
+        sampling_t=0.1,
+        infer_params={"parallel_sampling": 2, "sequential_sampling": 2,
+                      "n_z_samples": 4, "diffusion_steps": 20},
+    )
+    n_windows = (60 - 8) // 10 + 1
+    assert len(res["ews"]) == n_windows
+    assert all(np.isfinite(res["ews"]))
+    from upgdm_tpu.utils.io import load_tensor_list
+
+    cache = load_tensor_list(tmp_path / "cache.pt")
+    assert cache[0].shape == (V, 8, 1, 4)  # [Node, pred_len, F, all_sampling]
+    # legacy 3-D cache normalisation path
+    legacy = [c[:, :, 0, :] for c in cache]
+    from upgdm_tpu.eval.uncertainty import normalize_diffstg_pred_future_list
+
+    norm = normalize_diffstg_pred_future_list(legacy)
+    assert norm[0].shape == (V, 8, 1, 4)
