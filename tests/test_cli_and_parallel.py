@@ -157,3 +157,26 @@ def test_dp_train_step_8dev():
         params, opt_state, loss = step(params, opt_state, batch, jax.random.key(i))
         losses.append(float(loss))
     assert all(np.isfinite(losses))
+
+
+@pytest.mark.slow
+def test_sharded_window_ensemble_8dev():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from upgdm_tpu.models.nsdiff import NsDiffModel
+    from upgdm_tpu.parallel.data_parallel import sharded_window_ensemble
+    from upgdm_tpu.parallel.mesh import make_mesh
+
+    net_param = dict(
+        dataset_nf=1, windows=16, pred_len=8, rolling_length=4, diffusion_steps=4,
+        scaler_type=None, d_model=16, n_heads=2, e_layers=1, d_layers=1, d_ff=16,
+        p_hidden_dims=[8, 8], p_hidden_layers=2, n_z_samples=4, task_model="NsDiff",
+    )
+    model = NsDiffModel(net_param)
+    wins = np.random.default_rng(0).normal(size=(10, 2, 16, 1)).astype(np.float32)
+    out = sharded_window_ensemble(model, wins, 8, mesh=make_mesh(8), chunk_windows=1)
+    assert len(out) == 10
+    assert out[0].shape == (2, 8, 1, 4)
+    assert all(np.isfinite(o).all() for o in out)
