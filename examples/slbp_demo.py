@@ -152,6 +152,7 @@ def run_scan(args, out, model_dir, data_file, record, t_start):
         sample_window_step=10,
         uncertainty_method="both",
         chunk_windows=16,
+        load_model_when_cached=True,  # keep summaries inverse-transformed on reruns
     )
     scan_s = time.time() - t0
     n_windows = len(result["ews"])
@@ -161,11 +162,16 @@ def run_scan(args, out, model_dir, data_file, record, t_start):
     # ---- 4. artifacts -----------------------------------------------------
     fig = plot_single_model_check(result, title="SLBP NsDiff MPV",
                                   save_path=out / "slbp_mpv_collapse.png")
-    # transition = where N(t) crosses the clear->turbid threshold (~1.34)
-    nvals = np.asarray(record["N_values"], float)
-    ts = np.asarray(record["ts_dynamic"], float)
-    cross = np.flatnonzero(nvals > 1.34)
-    transition_time = float(ts[cross[0]]) if len(cross) else float(ts[-1])
+    # transition = the actual state regime shift (max windowed change of the
+    # bream state) — in a rate-ramped run the tip lags the static N=1.34
+    # bifurcation threshold, so locate it from the trajectory like
+    # mpv_collapse_summary does
+    from upgdm_tpu.figures.mpv_collapse import locate_transition
+
+    ts = np.asarray(record["ts_dynamic"], float)[::1000]
+    xstate = np.asarray(record["ys_dynamic"], float)[::1000, 0]
+    transition = locate_transition(ts, xstate, "SLBP", "increase")
+    transition_time = float(transition["transition_time"])
     metrics = metric_row_from_mpv(result["time_points"], result["ews"],
                                   transition_time, slope_window_points=10)
     gx_metrics = metric_row_from_mpv(
@@ -176,7 +182,7 @@ def run_scan(args, out, model_dir, data_file, record, t_start):
         "n_windows": n_windows,
         "scan_seconds": scan_s,
         "windows_per_hr": n_windows / scan_s * 3600,
-        "transition_time_N1.34": transition_time,
+        "transition_time_state": transition_time,
         "sampling_mpv": {k: v for k, v in metrics.items()
                          if not isinstance(v, np.ndarray)},
         "gx_mpv": {k: v for k, v in gx_metrics.items()
