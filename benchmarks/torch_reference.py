@@ -288,6 +288,46 @@ def p_sample_loop(model, y_0_hat, gx, sched):
     return (y - (1 - sqrt_abar) * y_0_hat - eps * noise_var.sqrt()) / sqrt_abar
 
 
+def _gather_b(arr, t):
+    """Batched schedule gather -> [B, 1, 1] (reference `extract`)."""
+    return torch.from_numpy(np.asarray(arr, np.float32))[t].view(-1, 1, 1)
+
+
+def nsdiff_train_loss(f, g, denoiser, sched, batch, windows, pred_len, rolling_length=50):
+    """Full NsDiff training loss (NsDiff_model.training_step, :133-179) in torch."""
+    eps_const = 1e-7
+    x = batch[:, :windows, :]
+    y = batch[:, windows : windows + pred_len, :]
+    y_sigma = wv_sigma_trailing(torch.cat([x, y], dim=1), rolling_length)[:, -pred_len:, :] + eps_const
+    n = x.shape[0]
+    t = torch.randint(0, sched.num_timesteps, ((n // 2) + 1,))
+    t = torch.cat([t, sched.num_timesteps - 1 - t], dim=0)[:n]
+    y0_hat = f(x)
+    gx = g(x) + eps_const
+    loss1 = (y0_hat - y).square().mean()
+    loss2 = (gx.sqrt() - y_sigma.sqrt()).square().mean()
+
+    bt = _gather_b(sched.betas_tilde, t)
+    bb = _gather_b(sched.betas_bar, t)
+    bt1 = _gather_b(sched.betas_tilde_m_1, t)
+    bb1 = _gather_b(sched.betas_bar_m_1, t)
+    a = _gather_b(sched.alphas, t)
+    abar_prev = _gather_b(sched.alphas_cumprod_prev, t)
+    sa = _gather_b(sched.alphas_bar_sqrt, t)
+
+    e = torch.randn_like(y)
+    forward_noise = (bb - bt) * gx + bt * y_sigma
+    s1 = (1 - a) ** 2 * gx + a * (1 - a) * y_sigma
+    s2 = (bb1 - bt1) * gx + bt1 * y_sigma
+    sigma_tilde = (s1 * s2) / (a * s2 + s1)
+    y_t = sa * y + (1 - sa) * y0_hat + e * forward_noise.sqrt()
+    out, sigma_theta = denoiser(y_t, y0_hat, gx, t)
+    sigma_theta = sigma_theta + eps_const
+    ratio = sigma_tilde / sigma_theta
+    kl = (e - out).square().mean() + ratio.mean() - ratio.log().mean()
+    return kl + loss1 + loss2
+
+
 class TorchNsDiffReference:
     """Per-window evaluation with host-side sample chunking (the reference's
     inference pattern, NsDiff_model.py:180-268)."""

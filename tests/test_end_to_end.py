@@ -220,3 +220,40 @@ def test_uncertainty_ews_diffstg_path(tmp_path):
 
     norm = normalize_diffstg_pred_future_list(legacy)
     assert norm[0].shape == (V, 8, 1, 4)
+
+
+def test_emergency_checkpoint_resume(tmp_path):
+    """run_training resumes from an emergency checkpoint at the saved epoch."""
+    from flax import serialization
+
+    from upgdm_tpu.models.factory import diffusion_models
+    from upgdm_tpu.train.loop import run_training
+    from upgdm_tpu.train.optimizers import make_optimizer
+    from upgdm_tpu.utils import io as uio
+
+    rng = np.random.default_rng(0)
+    data = (rng.normal(size=(24, 24, 1)) * 0.1).astype(np.float32).cumsum(axis=1)
+    net_param = dict(
+        dataset_nf=1, windows=16, pred_len=8, rolling_length=4, diffusion_steps=4,
+        scaler_type=None, d_model=16, n_heads=2, e_layers=1, d_layers=1, d_ff=16,
+        p_hidden_dims=[8, 8], p_hidden_layers=2, n_z_samples=2, task_model="NsDiff",
+    )
+    model = diffusion_models("NsDiff", dict(net_param), train_model_select="NsDiff_model")
+    tx = make_optimizer({"optimizer_name": "Adam", "lr": 1e-3}, model.trainable_mask())
+    opt_state = tx.init(model.params)
+    uio.emergency_checkpoint(
+        tmp_path, model.state_dict(), net_param,
+        serialization.to_bytes(opt_state), step=3,
+        record_scores={"epoch": [0, 1, 2], "train_scores": [9.0, 8.0, 7.0],
+                       "val_scores": [9.0, 8.0, 7.0]},
+    )
+    rs = run_training(
+        data[:16], data[16:],
+        dict(train_model_select="NsDiff_model", train_batch_size=8, val_batch_size=8,
+             train_epochs=5, test_set=True, ckpt=False),
+        net_param, {}, dict(optimizer_name="Adam", lr=1e-3), tmp_path,
+    )
+    # epochs 0-2 come from the checkpoint, 3-4 were trained now
+    assert rs["epoch"] == [0, 1, 2, 3, 4]
+    assert rs["train_scores"][:3] == [9.0, 8.0, 7.0]
+    assert all(np.isfinite(rs["train_scores"][3:]))
