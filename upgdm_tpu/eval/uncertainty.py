@@ -327,7 +327,8 @@ def batched_window_ensemble(
         flat = block.reshape(chunk * node, W, F)
         if model.scaler is not None:
             flat = model.scaler_transform(flat)
-        if use_gx_directly and hasattr(model, "_jitted_sample"):
+        if use_gx_directly and getattr(model, "has_g", False):
+            # NsDiff-only `_pe` variant: gx replaces the per-step sigma solve
             outs = model._jitted_sample(
                 model.params, jnp.asarray(flat), model.next_key(), model.n_z_samples, True
             )
