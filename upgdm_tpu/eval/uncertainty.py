@@ -353,6 +353,12 @@ def fast_mpv_sweep(
     ensemble cache is not needed, only two scalars per window leave the chip —
     the mean predictive variance and the prediction mean (both inverse-scaled,
     matching summarize_pred_future_list).  Returns (mpv [n], pred_mean [n]).
+
+    NOTE: currently EXPERIMENTAL for throughput — on the v5e used for round-1
+    benchmarks XLA compiles this fused sample+reduce program to a markedly
+    slower schedule than the plain sampling program, so the cache path
+    (batched_window_ensemble) remains the fast default despite its transfers.
+    Numerically verified against the cache path in tests/test_end_to_end.py.
     """
     import jax
     import jax.numpy as jnp
@@ -364,15 +370,24 @@ def fast_mpv_sweep(
     std = jnp.asarray(model.scaler_std if model.scaler is not None else np.ones(F, np.float32))
     mean = jnp.asarray(model.scaler_mean if model.scaler is not None else np.zeros(F, np.float32))
 
-    @jax.jit
-    def chunk_summary(params, flat, key):
-        outs = model.sample_fn(params, flat, key)  # [chunk*node, O, F, S]
-        outs = outs[:, -pred_len:, :, :]
-        outs = outs * std[None, None, :, None] + mean[None, None, :, None]
-        var = outs.var(axis=-1)  # [chunk*node, O, F]
-        var = var.reshape(chunk, node, pred_len, F)
-        pm = outs.reshape(chunk, node, pred_len, F, -1)
-        return var.mean(axis=(1, 2, 3)), pm.mean(axis=(1, 2, 3, 4))
+    # cache the jitted summary per (chunk, node, pred_len) on the model —
+    # rebuilding the jit wrapper per call would recompile inside the sweep
+    cache = model.__dict__.setdefault("_fast_sweep_jit_cache", {})
+    cache_key = (chunk, node, pred_len)
+    if cache_key not in cache:
+
+        @jax.jit
+        def chunk_summary(params, flat, key, std=std, mean=mean):
+            outs = model.sample_fn(params, flat, key)  # [chunk*node, O, F, S]
+            outs = outs[:, -pred_len:, :, :]
+            outs = outs * std[None, None, :, None] + mean[None, None, :, None]
+            var = outs.var(axis=-1)  # [chunk*node, O, F]
+            var = var.reshape(chunk, node, pred_len, F)
+            pm = outs.reshape(chunk, node, pred_len, F, -1)
+            return var.mean(axis=(1, 2, 3)), pm.mean(axis=(1, 2, 3, 4))
+
+        cache[cache_key] = chunk_summary
+    chunk_summary = cache[cache_key]
 
     mpv_out, mean_out = [], []
     for start in range(0, n, chunk):
