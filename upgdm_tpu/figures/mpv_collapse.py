@@ -341,6 +341,67 @@ def _empty_row(dynamic_type, topology_type, topology, trend, data_file, reason):
     return row
 
 
+def save_check_plot(path, time, state_mean, mpv_time, mpv_values, transition,
+                    metrics, title: str) -> None:
+    """3-panel diagnostic: state + MPV (baseline window, minima) + slopes
+    (mpv_collapse_summary.py:392-479)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    time = np.asarray(time, float)
+    state_mean = np.asarray(state_mean, float)
+    mpv_time = np.asarray(mpv_time, float)
+    mpv_values = np.asarray(mpv_values, float)
+    transition_time = float(transition["transition_time"])
+    slope_times = np.asarray(metrics.get("slope_times", []), float)
+    slopes = np.asarray(metrics.get("slopes", []), float)
+
+    fig, axs = plt.subplots(3, 1, figsize=(7.0, 5.4), sharex=True,
+                            gridspec_kw={"hspace": 0.12})
+    axs[0].plot(time, state_mean, color="#0F4D92", linewidth=1.0)
+    axs[0].axvline(transition_time, color="#B64342", linestyle="--", linewidth=0.9,
+                   label="Transition")
+    axs[0].set_ylabel("State")
+    axs[0].set_title(title, fontsize=8.5)
+    axs[0].legend(loc="best", frameon=False, fontsize=6.8)
+
+    axs[1].plot(mpv_time, mpv_values, color="#B64342", linewidth=1.0)
+    axs[1].axvline(transition_time, color="#B64342", linestyle="--", linewidth=0.9)
+    axs[1].axhline(float(metrics["baseline_mpv"]), color="#4D4D4D", linestyle=":",
+                   linewidth=0.9, label="Baseline MPV")
+    axs[1].axvspan(float(metrics["baseline_start_time"]), float(metrics["baseline_end_time"]),
+                   color="#D8D8D8", alpha=0.25, linewidth=0, label="Baseline Window")
+    axs[1].scatter([float(metrics["min_mpv_before_transition_time"])],
+                   [float(metrics["min_mpv_before_transition"])],
+                   color="#E28E2C", s=18, zorder=3, label="Pre-transition Min")
+    axs[1].scatter([float(metrics["global_min_mpv_time"])],
+                   [float(metrics["min_mpv_global"])],
+                   color="#42949E", s=18, zorder=3, label="Global Min")
+    axs[1].set_ylabel("MPV")
+    axs[1].legend(loc="best", frameon=False, fontsize=6.8, ncol=2)
+
+    axs[2].plot(slope_times, slopes, color="#9A4D8E", linewidth=1.0)
+    axs[2].axhline(0, color="#767676", linestyle=":", linewidth=0.8)
+    axs[2].axvline(transition_time, color="#B64342", linestyle="--", linewidth=0.9)
+    if np.isfinite(as_float_or_nan(metrics.get("min_slope_global_time"))):
+        axs[2].scatter([float(metrics["min_slope_global_time"])],
+                       [float(metrics["min_slope_global"])],
+                       color="#42949E", s=18, zorder=3)
+    axs[2].set_ylabel("MPV Slope")
+    axs[2].set_xlabel("Time")
+    for ax in axs:
+        ax.set_xlim(float(np.nanmin(time)), float(np.nanmax(time)))
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+        ax.tick_params(labelsize=6.8)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=220, bbox_inches="tight")
+    plt.close(fig)
+
+
 def analyze_file(args, dynamic_type, topology_type, topology, trend, eta, data_file) -> dict:
     """Per-trajectory analysis driver (mpv_collapse_summary.py:482-571)."""
     try:
@@ -381,6 +442,17 @@ def analyze_file(args, dynamic_type, topology_type, topology, trend, eta, data_f
     if metrics.get("skip_reason"):
         row.update(is_transition=False, skip_reason=metrics["skip_reason"])
         return row
+    if getattr(args, "plot_checks", False):
+        plot_path = (
+            Path(getattr(args, "check_plot_dir", None) or Path(args.output_dir) / "mpv_collapse_checks")
+            / dynamic_type / topology_type / topology / f"{data_file.stem}_mpv_check.png"
+        )
+        save_check_plot(
+            plot_path, time, state_mean, result["time_points"], result["ews"],
+            transition, metrics,
+            title=f"{dynamic_type} | {topology_type} | {topology} | {trend} | {data_file.name}",
+        )
+        row["check_plot_path"] = str(plot_path)
     metrics.pop("slope_times", None)
     metrics.pop("slopes", None)
     row["mpv_time"] = np.asarray(result["time_points"], float)
@@ -410,6 +482,8 @@ def main(argv=None):
     parser.add_argument("--pred-dim", type=int, default=0)
     parser.add_argument("--slope-window-ratio", type=float, default=0.25)
     parser.add_argument("--force-recompute", action="store_true")
+    parser.add_argument("--plot-checks", action="store_true")
+    parser.add_argument("--check-plot-dir", default=None)
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--max-files", type=int, default=None)
     parser.add_argument("--samples-csv", default="mpv_collapse_samples.csv")
