@@ -100,6 +100,62 @@ def test_build_summary_rows_and_matrix():
     assert "85.00% +/- " in matrix[0]["BA | increase"]
 
 
+def test_summarize_xy_records_groups_by_x():
+    records = [
+        {"threshold": 0.1, "lead_time": 10.0},
+        {"threshold": 0.1, "lead_time": 30.0},
+        {"threshold": 0.2, "lead_time": 5.0},
+        {"threshold": 0.3, "lead_time": float("nan")},  # dropped
+    ]
+    rows = M.summarize_xy_records(records, "threshold", "lead_time")
+    assert [r["threshold"] for r in rows] == [0.1, 0.2]
+    assert rows[0]["mean_lead_time"] == pytest.approx(20.0)
+    assert rows[0]["std_lead_time"] == pytest.approx(np.std([10, 30], ddof=1))
+    assert rows[0]["n_valid"] == 2
+    assert rows[1]["std_lead_time"] == 0.0  # single sample
+
+
+def test_threshold_and_slope_relation_records(tmp_path):
+    t = np.arange(10, dtype=float) * 10.0
+    mpv = np.array([1.0, 1.0, 0.9, 0.8, 0.6, 0.4, 0.3, 0.2, 0.2, 0.2])
+    rows = [
+        {"dynamic_type": "SIS", "trend": "increase", "skip_reason": "",
+         "baseline_mpv": 1.0, "transition_time": 80.0,
+         "mpv_time": t, "mpv_values": mpv,
+         "min_slope_global": -0.02, "slope_lead_time": 35.0},
+        {"dynamic_type": "SIS", "trend": "increase", "skip_reason": "no_transition"},
+    ]
+    records = M.threshold_records_from_runtime(rows)
+    # 8 thresholds in [0.1, max_drop=0.8]; every threshold is reached
+    assert len(records) == 8
+    thresholds = sorted({r["threshold"] for r in records})
+    assert thresholds[0] == pytest.approx(0.1)
+    assert thresholds[-1] == pytest.approx(0.8)
+    # threshold 0.1 first reached at t=30 (drop 0.2; the t=20 drop is
+    # 0.0999... in float) -> lead 50
+    low = min(records, key=lambda r: r["threshold"])
+    assert low["lead_time"] == pytest.approx(50.0)
+    # the deepest threshold (0.8) first reached at t=70 -> lead 10
+    high = max(records, key=lambda r: r["threshold"])
+    assert high["lead_time"] == pytest.approx(10.0)
+
+    slope_recs = M.slope_relation_records(rows)
+    assert slope_recs == [{"dynamic_type": "SIS", "trend": "increase",
+                           "min_slope_global": -0.02, "lead_time": 35.0}]
+
+    csv_path = tmp_path / "rel.csv"
+    M.write_relation_csv(csv_path, records, "threshold")
+    text = csv_path.read_text()
+    assert text.splitlines()[0] == (
+        "dynamic_type,trend,threshold,mean_lead_time,std_lead_time,n_valid")
+    assert len(text.splitlines()) == 9  # header + 8 thresholds
+
+    png = tmp_path / "rel.png"
+    M.plot_six_panel_relation(records, "threshold", "lead_time", png,
+                              xlabel="thr", ylabel="lead")
+    assert png.exists() and png.stat().st_size > 0
+
+
 def test_iter_data_files(tmp_path):
     root = tmp_path
     d = root / "spdata_sde_SIS" / "barabasi_albert_30_0"

@@ -462,6 +462,143 @@ def analyze_file(args, dynamic_type, topology_type, topology, trend, eta, data_f
     return row
 
 
+def summarize_xy_records(records, x_key, y_key):
+    """Group y by x and compute mean±std lead time (ref :962-983)."""
+    grouped = defaultdict(list)
+    for r in records:
+        x = as_float_or_nan(r.get(x_key))
+        y = as_float_or_nan(r.get(y_key))
+        if np.isfinite(x) and np.isfinite(y):
+            grouped[x].append(y)
+    rows = []
+    for x in sorted(grouped):
+        vals = np.asarray(grouped[x], float)
+        rows.append({
+            x_key: x,
+            "mean_lead_time": float(np.nanmean(vals)),
+            "std_lead_time": float(np.nanstd(vals, ddof=1)) if len(vals) > 1 else 0.0,
+            "n_valid": int(len(vals)),
+        })
+    return rows
+
+
+def threshold_records_from_runtime(runtime_records):
+    """MPV-drop-threshold -> detection lead-time records (ref :1000-1040)."""
+    max_drop_by_group = defaultdict(float)
+    for r in runtime_records:
+        if str(r.get("skip_reason", "")) != "" or "mpv_values" not in r:
+            continue
+        baseline = as_float_or_nan(r.get("baseline_mpv"))
+        if not np.isfinite(baseline) or baseline <= 0:
+            continue
+        drops = (baseline - r["mpv_values"]) / baseline
+        if len(drops) == 0 or not np.isfinite(drops).any():
+            continue
+        group = (r["dynamic_type"], r["trend"])
+        max_drop_by_group[group] = max(max_drop_by_group[group], float(np.nanmax(drops)))
+    thresholds_by_group = {
+        g: np.linspace(0.1, md, 8) for g, md in max_drop_by_group.items() if md >= 0.1
+    }
+    records = []
+    for r in runtime_records:
+        if str(r.get("skip_reason", "")) != "" or "mpv_values" not in r or "mpv_time" not in r:
+            continue
+        group = (r["dynamic_type"], r["trend"])
+        baseline = as_float_or_nan(r.get("baseline_mpv"))
+        if not np.isfinite(baseline) or baseline <= 0:
+            continue
+        drops = (baseline - r["mpv_values"]) / baseline
+        for threshold in thresholds_by_group.get(group, []):
+            hits = np.flatnonzero(drops >= threshold)
+            if len(hits) == 0:
+                continue
+            hit_time = float(r["mpv_time"][int(hits[0])])
+            records.append({
+                "dynamic_type": r["dynamic_type"], "trend": r["trend"],
+                "threshold": float(threshold),
+                "lead_time": float(r["transition_time"] - hit_time),
+            })
+    return records
+
+
+def slope_relation_records(sample_rows):
+    """(min global slope, slope lead time) per valid sample (ref :756-775)."""
+    records = []
+    for row in sample_rows:
+        if str(row.get("skip_reason", "")) != "":
+            continue
+        slope = as_float_or_nan(row.get("min_slope_global"))
+        lead = as_float_or_nan(row.get("slope_lead_time"))
+        if np.isfinite(slope) and np.isfinite(lead):
+            records.append({
+                "dynamic_type": row.get("dynamic_type", ""),
+                "trend": row.get("trend", ""),
+                "min_slope_global": slope,
+                "lead_time": lead,
+            })
+    return records
+
+
+def write_relation_csv(path, records, x_key):
+    grouped = defaultdict(list)
+    for r in records:
+        grouped[(r["dynamic_type"], r["trend"])].append(r)
+    rows = []
+    for (dynamic_type, trend), recs in sorted(grouped.items()):
+        for row in summarize_xy_records(recs, x_key, "lead_time"):
+            rows.append({"dynamic_type": dynamic_type, "trend": trend, **row})
+    write_csv(path, rows, ["dynamic_type", "trend", x_key, "mean_lead_time",
+                           "std_lead_time", "n_valid"])
+
+
+def plot_six_panel_relation(records, x_key, y_key, output_path, xlabel, ylabel):
+    """2x3 mean±std relation panels per (trend x dynamics) (ref :777-960)."""
+    import string
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axs = plt.subplots(2, 3, figsize=(7.1, 4.6),
+                            gridspec_kw={"hspace": 0.36, "wspace": 0.32})
+    panel_order = [(d, t) for t in TRENDS for d in DATASETS]
+    labels = string.ascii_lowercase[:6]
+    for i, (ax, (dynamic_type, trend)) in enumerate(zip(axs.ravel(), panel_order)):
+        panel = [r for r in records
+                 if r.get("dynamic_type") == dynamic_type and r.get("trend") == trend]
+        if panel:
+            rows = summarize_xy_records(panel, x_key, y_key)
+            x = np.asarray([r[x_key] for r in rows], float)
+            y = np.asarray([r["mean_lead_time"] for r in rows], float)
+            sd = np.asarray([r["std_lead_time"] for r in rows], float)
+            valid = np.isfinite(x) & np.isfinite(y) & np.isfinite(sd)
+            x, y, sd = x[valid], y[valid], sd[valid]
+            order = np.argsort(x)
+            x, y, sd = x[order], y[order], sd[order]
+            if len(x):
+                ax.fill_between(x, y - sd, y + sd, color="#0F4D92", alpha=0.16,
+                                linewidth=0)
+                ax.plot(x, y, color="#0F4D92", linewidth=1.1, marker="o", markersize=3)
+                ax.axhline(0, color="#767676", linestyle=":", linewidth=0.7)
+                if x_key == "min_slope_global":
+                    ax.ticklabel_format(axis="x", style="sci", scilimits=(-2, 2))
+        else:
+            ax.text(0.5, 0.5, "No data", ha="center", va="center",
+                    transform=ax.transAxes, color="#767676", fontsize=7)
+        ax.set_title(str(dynamic_type), pad=4, fontsize=8)
+        ax.text(-0.15, 1.10, labels[i], transform=ax.transAxes, ha="left", va="top",
+                fontsize=9.2, fontweight="bold", clip_on=False)
+        ax.set_xlabel(xlabel, fontsize=8)
+        ax.set_ylabel(ylabel, fontsize=8)
+        ax.spines["top"].set_visible(False)
+        ax.spines["right"].set_visible(False)
+        ax.tick_params(labelsize=6.6)
+    Path(output_path).parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(output_path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+
+
 def summary_fields():
     return ["dynamic_type", "topology_type", "trend", "metric", "n_valid", "mean",
             "std", "median", "q25", "q75"]
@@ -484,6 +621,7 @@ def main(argv=None):
     parser.add_argument("--force-recompute", action="store_true")
     parser.add_argument("--plot-checks", action="store_true")
     parser.add_argument("--check-plot-dir", default=None)
+    parser.add_argument("--plot-summary-relations", action="store_true")
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--max-files", type=int, default=None)
     parser.add_argument("--samples-csv", default="mpv_collapse_samples.csv")
@@ -504,6 +642,23 @@ def main(argv=None):
     for metric in METRICS:
         fields, rows = build_metric_matrix(summary_rows, metric)
         write_csv(output_dir / f"mpv_collapse_{metric}.csv", rows, fields)
+    if args.plot_summary_relations:
+        drop_records = threshold_records_from_runtime(sample_rows)
+        write_relation_csv(output_dir / "mpv_drop_threshold_lead_time.csv",
+                           drop_records, "threshold")
+        plot_six_panel_relation(
+            drop_records, "threshold", "lead_time",
+            output_dir / "mpv_drop_threshold_lead_time.png",
+            xlabel="MPV drop threshold", ylabel="Lead time",
+        )
+        slope_records = slope_relation_records(sample_rows)
+        write_relation_csv(output_dir / "mpv_slope_lead_time.csv",
+                           slope_records, "min_slope_global")
+        plot_six_panel_relation(
+            slope_records, "min_slope_global", "lead_time",
+            output_dir / "mpv_slope_lead_time.png",
+            xlabel="Minimum MPV local slope", ylabel="Lead time",
+        )
     print(f"scanned_files: {len(files)}")
     print(f"valid_rows: {sum(1 for r in sample_rows if str(r.get('skip_reason', '')) == '')}")
     print(f"samples_csv: {output_dir / args.samples_csv}")
