@@ -100,6 +100,37 @@ def test_build_summary_rows_and_matrix():
     assert "85.00% +/- " in matrix[0]["BA | increase"]
 
 
+def test_count_matrix_and_markdown_summary(tmp_path):
+    rows = [
+        {"dynamic_type": "SIS", "topology_type": "BA", "trend": "increase",
+         "skip_reason": "", "pre_transition_drop_percent": 80.0,
+         "global_drop_percent": 85.0, "lead_time": 100.0,
+         "min_slope_before_transition": -1.0, "min_slope_global": -2.0,
+         "slope_lead_time": 50.0},
+        {"dynamic_type": "SIS", "topology_type": "BA", "trend": "increase",
+         "skip_reason": "", "pre_transition_drop_percent": 90.0,
+         "global_drop_percent": 95.0, "lead_time": 120.0,
+         "min_slope_before_transition": -1.5, "min_slope_global": -2.5,
+         "slope_lead_time": 60.0},
+        {"dynamic_type": "SIS", "topology_type": "ER", "trend": "decrease",
+         "skip_reason": "no_transition"},
+    ]
+    summary = M.build_summary_rows(rows)
+    fields, matrix = M.build_count_matrix(summary)
+    assert fields[0] == "dynamic_type"
+    assert matrix[0]["BA | increase"] == 2
+    assert matrix[0]["ER | decrease"] == ""  # skipped group never summarized
+
+    md = tmp_path / "summary.md"
+    M.write_markdown_summary(md, summary, rows)
+    text = md.read_text()
+    assert "Total scanned samples: 3" in text
+    assert "Valid transition samples with MPV metrics: 2" in text
+    assert "`mpv_collapse_n_valid.csv`" in text
+    for metric in M.METRICS:
+        assert f"`mpv_collapse_{metric}.csv`" in text
+
+
 def test_summarize_xy_records_groups_by_x():
     records = [
         {"threshold": 0.1, "lead_time": 10.0},

@@ -34,6 +34,27 @@ METRICS = (
     "min_slope_global",
     "slope_lead_time",
 )
+# One display CSV per metric + what it measures (used in the markdown summary;
+# ref :47-72).
+METRIC_DESCRIPTIONS = {
+    "pre_transition_drop_percent":
+        "MPV drop before the raw-state transition, relative to the early "
+        "pre-transition baseline (%).",
+    "global_drop_percent":
+        "Largest MPV drop over the whole trajectory, relative to the early "
+        "pre-transition baseline (%).",
+    "lead_time":
+        "Time difference between the raw-state transition and the global MPV "
+        "minimum; positive values mean early warning.",
+    "min_slope_before_transition":
+        "Minimum trailing MPV local slope before the raw-state transition.",
+    "min_slope_global":
+        "Minimum trailing MPV local slope over the whole trajectory.",
+    "slope_lead_time":
+        "Time difference between the raw-state transition and the global "
+        "minimum trailing MPV local slope.",
+}
+COUNT_TABLE = "mpv_collapse_n_valid.csv"
 SAMPLE_FIELDS = (
     "dynamic_type", "topology_type", "topology", "trend", "data_file",
     "transition_time", "is_transition", "skip_reason", "baseline_mpv",
@@ -322,6 +343,69 @@ def build_metric_matrix(summary_rows, metric):
                 out[f"{t} | {tr}"] = ""
         rows.append(out)
     return fields, rows
+
+
+def build_count_matrix(summary_rows):
+    """n_valid counts per (dynamics x topology-type x trend) (ref :650-666)."""
+    metric = METRICS[0]
+    by_key = {(r["dynamic_type"], r["topology_type"], r["trend"], r["metric"]): r
+              for r in summary_rows}
+    pairs = [(t, tr) for t in TOPOLOGY_TYPES for tr in TRENDS]
+    fields = ["dynamic_type"] + [f"{t} | {tr}" for t, tr in pairs]
+    dynamics = [d for d in DATASETS if any(r["dynamic_type"] == d for r in summary_rows)]
+    rows = []
+    for d in dynamics:
+        out = {"dynamic_type": d}
+        for t, tr in pairs:
+            key = (d, t, tr, metric)
+            out[f"{t} | {tr}"] = int(by_key[key]["n_valid"]) if key in by_key else ""
+        rows.append(out)
+    return fields, rows
+
+
+def write_markdown_summary(path, summary_rows, sample_rows):
+    """Reviewer-facing README for the table set (ref :1032-1065)."""
+    valid = sum(1 for r in sample_rows if str(r.get("skip_reason", "")) == "")
+    lines = [
+        "# MPV Collapse Summary",
+        "",
+        "Purpose: these tables support the reviewer-requested statistical "
+        "summary of MPV collapse across network dynamics and topologies.",
+        "Rows are dynamical systems; columns are topology classes (BA, ER, SW) "
+        "and control-parameter trend. Noise levels are used only for data "
+        "filtering and are not reported as table columns.",
+        "Topology classes aggregate all matching graph instances: "
+        "BA = barabasi_albert, ER = erdos_renyi, SW = small-world.",
+        "",
+        f"Total scanned samples: {len(sample_rows)}",
+        f"Valid transition samples with MPV metrics: {valid}",
+        "",
+        "## Manuscript-facing CSV tables",
+        "",
+        f"- `{COUNT_TABLE}`: number of valid transition-bearing samples used "
+        "in each dynamical-system/topology-class/trend cell.",
+    ]
+    for metric, description in METRIC_DESCRIPTIONS.items():
+        lines.append(f"- `mpv_collapse_{metric}.csv`: {description}")
+    lines += [
+        "",
+        "Each metric display cell is formatted as `mean +/- SD`; percentage "
+        "signs denote MPV reduction percentages.",
+        "",
+        "## Source-data table",
+        "",
+        "`mpv_collapse_samples.csv` contains one row per scanned data file for "
+        "audit and reproducibility. Rows with non-empty `skip_reason` are "
+        "excluded from summary statistics.",
+        "`mpv_collapse_summary.csv` contains the numeric long-format source "
+        "table behind the display CSV files.",
+        "",
+        "Positive lead_time means the global MPV minimum precedes the "
+        "raw-state transition time.",
+    ]
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text("\n".join(lines) + "\n", encoding="utf-8")
 
 
 def write_csv(path, rows, fields):
@@ -626,6 +710,7 @@ def main(argv=None):
     parser.add_argument("--max-files", type=int, default=None)
     parser.add_argument("--samples-csv", default="mpv_collapse_samples.csv")
     parser.add_argument("--summary-csv", default="mpv_collapse_summary.csv")
+    parser.add_argument("--summary-md", default="mpv_collapse_summary.md")
     args = parser.parse_args(argv)
 
     files = list(iter_data_files(
@@ -642,6 +727,9 @@ def main(argv=None):
     for metric in METRICS:
         fields, rows = build_metric_matrix(summary_rows, metric)
         write_csv(output_dir / f"mpv_collapse_{metric}.csv", rows, fields)
+    fields, rows = build_count_matrix(summary_rows)
+    write_csv(output_dir / COUNT_TABLE, rows, fields)
+    write_markdown_summary(output_dir / args.summary_md, summary_rows, sample_rows)
     if args.plot_summary_relations:
         drop_records = threshold_records_from_runtime(sample_rows)
         write_relation_csv(output_dir / "mpv_drop_threshold_lead_time.csv",
@@ -663,6 +751,7 @@ def main(argv=None):
     print(f"valid_rows: {sum(1 for r in sample_rows if str(r.get('skip_reason', '')) == '')}")
     print(f"samples_csv: {output_dir / args.samples_csv}")
     print(f"summary_csv: {output_dir / args.summary_csv}")
+    print(f"summary_md: {output_dir / args.summary_md}")
 
 
 if __name__ == "__main__":
