@@ -84,6 +84,63 @@ def test_resgated_formula():
     np.testing.assert_allclose(out, want, rtol=1e-5)
 
 
+def test_pna_mean_aggregation_hand_computed():
+    adj = _line_graph()
+    x = jnp.asarray(np.array([[1.0], [2.0], [4.0]], np.float32))
+    # identity-only scaler, mean-only aggregator, unit weights everywhere:
+    # pre(x_i||x_j) = x_i + x_j (+bias 1); post = x_i + mean_agg (+1); lin same
+    mod = G.PNAConv(1, aggregators=("mean",), scalers=("identity",))
+    params = jax.jit(mod.init)(jax.random.key(0), x, adj)
+    params = jax.tree.map(lambda p: jnp.ones_like(p), params)
+    out = np.asarray(mod.apply(params, x, adj)).ravel()
+    # node0: mean_j pre = (1+2+1) = 4 -> post = 1+4+1 = 6 -> lin = 6+1 = 7
+    # node1: mean over {0,2}: ((2+1+1)+(2+4+1))/2 = 5.5 -> 2+5.5+1=8.5 -> 9.5
+    # node2: (4+2+1) = 7 -> 4+7+1 = 12 -> 13
+    np.testing.assert_allclose(out, [7.0, 9.5, 13.0], rtol=1e-5)
+
+
+def test_pna_degree_scalers_and_isolated_nodes(rng):
+    adj = _line_graph()
+    x = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+    deg_hist = [0, 2, 1]  # 2 nodes of degree 1, 1 node of degree 2
+    mod = G.PNAConv(8, deg=tuple(deg_hist))
+    params = jax.jit(mod.init)(jax.random.key(0), x, adj)
+    out = mod.apply(params, x, adj)
+    assert out.shape == (3, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    # amplification/attenuation must differ between degree-1 and degree-2 nodes
+    x_same = jnp.broadcast_to(x[0], x.shape)  # identical features everywhere
+    out_same = np.asarray(mod.apply(params, x_same, adj))
+    assert np.abs(out_same[0] - out_same[1]).max() > 1e-5  # deg 1 vs deg 2
+    np.testing.assert_allclose(out_same[0], out_same[2], atol=1e-5)  # both deg 1
+    # isolated nodes: no inf leakage from masked min/max
+    out0 = np.asarray(mod.apply(params, x, jnp.zeros((3, 3))))
+    assert np.isfinite(out0).all()
+
+
+def test_pna_towers_and_batched_adjacency(rng):
+    adjs = jnp.asarray(np.stack([np.asarray(_line_graph()),
+                                 np.eye(3, dtype=np.float32)]))
+    x = jnp.asarray(rng.normal(size=(2, 3, 4)).astype(np.float32))
+    mod = G.PNAConv(6, towers=2, divide_input=True,
+                    aggregators=("mean", "sum", "var"))
+    params = jax.jit(mod.init)(jax.random.key(0), x, adjs)
+    out = mod.apply(params, x, adjs)
+    assert out.shape == (2, 3, 6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_registry_dispatches_pna_and_fgnn():
+    mod = G.gnn_conv("PNAConv", 8, {"deg": np.array([0, 3, 1]), "towers": 2})
+    assert isinstance(mod, G.PNAConv) and mod.towers == 2
+    fgnn = G.gnn_conv("FGNNConv", 8, {"factor_dim": 4})
+    from upgdm_tpu.models.fgnn import FGNNConv
+
+    assert isinstance(fgnn, FGNNConv)
+    with pytest.raises(ValueError):
+        G.gnn_conv("NopeConv", 8)
+
+
 def test_batched_adjacency_broadcast(rng):
     """Per-sample adjacency [B, V, V] against [B, V, C] features."""
     adjs = np.stack([np.asarray(_line_graph()), np.zeros((3, 3), np.float32)])

@@ -13,14 +13,15 @@ GraphConv (/root/reference/models/layer/AGNNConv.py:33-210).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 __all__ = ["gnn_conv", "GCNConv", "GraphConv", "SAGEConv", "GATConv", "GATv2Conv",
-           "ResGatedGraphConv", "GatedGraphConv", "AGNNConv"]
+           "ResGatedGraphConv", "GatedGraphConv", "AGNNConv", "PNAConv"]
 
 _NEG_INF = -1e9
 
@@ -230,6 +231,108 @@ class AGNNConv(nn.Module):
         return h
 
 
+class PNAConv(nn.Module):
+    """Principal Neighbourhood Aggregation (Corso et al. 2020), dense form.
+
+    Registry parity with the reference's PyG dispatch
+    (models/layer/gnn_conv.py:20-21).  Pairwise messages pre_nn(x_i || x_j)
+    are reduced with every aggregator, rescaled by every degree scaler
+    (delta = mean log-degree from the training histogram ``deg``, as PyG
+    precomputes from ``utils.deg_histogram``), concatenated with x_i, and
+    mapped by post_nn — per tower, with a final linear mix.  The [V, V]
+    pairwise tensor is fine at this workload's <=100-node graphs.
+    """
+
+    out_channels: int
+    aggregators: Sequence[str] = ("mean", "min", "max", "std")
+    scalers: Sequence[str] = ("identity", "amplification", "attenuation")
+    deg: Optional[Sequence[float]] = None
+    towers: int = 1
+    pre_layers: int = 1
+    post_layers: int = 1
+    divide_input: bool = False
+
+    @nn.compact
+    def __call__(self, x, adj):
+        if self.out_channels % self.towers:
+            raise ValueError("out_channels must be divisible by towers")
+        f_out = self.out_channels // self.towers
+        if self.deg is not None:
+            hist = np.asarray(self.deg, dtype=float)
+            d = np.arange(len(hist), dtype=float)
+            delta = float((hist * np.log(d + 1)).sum() / max(hist.sum(), 1.0))
+        else:
+            delta = 1.0
+        delta = max(delta, 1e-6)
+        # adj may carry fewer leading axes than x (e.g. [B,V,V] vs [B,T,V,C]
+        # inside UGnet) — align them so the pairwise mask broadcasts.
+        V = adj.shape[-1]
+        lead = jnp.broadcast_shapes(adj.shape[:-2], x.shape[:-2])
+        mask = jnp.broadcast_to(adj > 0, (*lead, V, V))
+        n_neigh = jnp.maximum(mask.sum(axis=-1), 1)  # clamp(1) as in PyG
+        log_deg = jnp.log(n_neigh.astype(x.dtype) + 1.0)[..., :, None]
+
+        if self.divide_input:
+            if x.shape[-1] % self.towers:
+                raise ValueError("in features must be divisible by towers")
+            xs = jnp.split(x, self.towers, axis=-1)
+        else:
+            xs = [x] * self.towers
+
+        tower_outs = []
+        for t, xt in enumerate(xs):
+            f_t = xt.shape[-1]
+            pair = jnp.concatenate([
+                jnp.broadcast_to(xt[..., :, None, :], (*xt.shape[:-1], xt.shape[-2], f_t)),
+                jnp.broadcast_to(xt[..., None, :, :], (*xt.shape[:-1], xt.shape[-2], f_t)),
+            ], axis=-1)
+            m = nn.Dense(f_t, name=f"pre_{t}_0")(pair)
+            for i in range(1, self.pre_layers):
+                m = nn.Dense(f_t, name=f"pre_{t}_{i}")(nn.relu(m))
+
+            w = mask[..., :, :, None].astype(m.dtype)
+            mean = (m * w).sum(axis=-2) / n_neigh[..., :, None]
+            aggs = []
+            for name in self.aggregators:
+                if name == "mean":
+                    aggs.append(mean)
+                elif name == "sum":
+                    aggs.append((m * w).sum(axis=-2))
+                elif name == "min":
+                    aggs.append(jnp.where(
+                        mask[..., :, :, None], m, jnp.inf).min(axis=-2))
+                elif name == "max":
+                    aggs.append(jnp.where(
+                        mask[..., :, :, None], m, -jnp.inf).max(axis=-2))
+                elif name in ("std", "var"):
+                    sq = (m * m * w).sum(axis=-2) / n_neigh[..., :, None]
+                    var = jnp.maximum(sq - mean * mean, 0.0)
+                    aggs.append(jnp.sqrt(var + 1e-5) if name == "std" else var)
+                else:
+                    raise ValueError(f"unknown aggregator: {name!r}")
+            # min/max over empty neighborhoods produce +/-inf — zero them
+            aggs = [jnp.where(mask.any(axis=-1)[..., :, None], a, 0.0) for a in aggs]
+            agg = jnp.concatenate(aggs, axis=-1)
+
+            scaled = []
+            for name in self.scalers:
+                if name == "identity":
+                    scaled.append(agg)
+                elif name == "amplification":
+                    scaled.append(agg * (log_deg / delta))
+                elif name == "attenuation":
+                    scaled.append(agg * (delta / log_deg))
+                else:
+                    raise ValueError(f"unknown scaler: {name!r}")
+            h = jnp.concatenate([xt] + scaled, axis=-1)
+            h = nn.Dense(f_out, name=f"post_{t}_0")(h)
+            for i in range(1, self.post_layers):
+                h = nn.Dense(f_out, name=f"post_{t}_{i}")(nn.relu(h))
+            tower_outs.append(h)
+        out = jnp.concatenate(tower_outs, axis=-1)
+        return nn.Dense(self.out_channels, name="lin")(out)
+
+
 def gnn_conv(gnn_name: str, out_channels: int, gnn_param: Optional[dict] = None) -> nn.Module:
     """Name -> dense conv module (registry parity with gnn_conv.py:4-28)."""
     p = dict(gnn_param or {})
@@ -252,4 +355,15 @@ def gnn_conv(gnn_name: str, out_channels: int, gnn_param: Optional[dict] = None)
         return ResGatedGraphConv(out_channels, **p)
     if gnn_name == "AGNNConv":
         return AGNNConv(out_channels, **p)
+    if gnn_name == "PNAConv":
+        for k in ("aggregators", "scalers"):
+            if k in p:
+                p[k] = tuple(p[k])
+        if "deg" in p and p["deg"] is not None:
+            p["deg"] = tuple(float(v) for v in np.asarray(p["deg"]).ravel())
+        return PNAConv(out_channels, **p)
+    if gnn_name == "FGNNConv":
+        from .fgnn import FGNNConv
+
+        return FGNNConv(output_vdim=out_channels, **p)
     raise ValueError(f"unknown gnn layer: {gnn_name!r}")
