@@ -439,7 +439,8 @@ def batched_gx(model, windows_array: np.ndarray, chunk_windows: int = 64) -> Lis
     gx_call = jax.jit(lambda p, x: model.gx_fn(p, x))
     out = []
     chunk = min(chunk_windows, n)
-    for start in range(0, n, chunk):
+
+    def dispatch(start):
         block = windows_array[start : start + chunk]
         valid = block.shape[0]
         if valid < chunk:
@@ -449,10 +450,26 @@ def batched_gx(model, windows_array: np.ndarray, chunk_windows: int = 64) -> Lis
         flat = block.reshape(chunk * node, W, F)
         if model.scaler is not None:
             flat = model.scaler_transform(flat)
-        gx = np.asarray(gx_call(model.params, jnp.asarray(flat)))
+        gx = gx_call(model.params, jnp.asarray(flat))
+        try:
+            gx.copy_to_host_async()
+        except AttributeError:
+            pass
+        return gx, valid
+
+    def drain(gx, valid):
+        gx = np.asarray(gx)
         gx = gx.reshape(chunk, node, gx.shape[-2], gx.shape[-1])
         for i in range(valid):
             out.append(gx[i])
+
+    pending = None  # overlap the next chunk's forward with this transfer
+    for start in range(0, n, chunk):
+        nxt = dispatch(start)
+        if pending is not None:
+            drain(*pending)
+        pending = nxt
+    drain(*pending)
     return out
 
 
