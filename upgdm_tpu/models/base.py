@@ -79,6 +79,9 @@ class DiffusionWrapperBase:
 
     def load_state_dict(self, flat: Dict[str, np.ndarray], strict: bool = True):
         flat = dict(flat)
+        converter = getattr(self, "convert_reference_state_dict", None)
+        if converter is not None:
+            flat = converter(flat, strict=strict)
         if "scaler_mean" in flat:
             self._scaler.mean = np.asarray(flat.pop("scaler_mean"), np.float32)
         if "scaler_std" in flat:

@@ -287,6 +287,17 @@ class NsDiffModel(DiffusionWrapperBase):
     def _jitted_loss(self, params, batch, key, select):
         return self.loss_fn(params, batch, key, select=select, train=False)
 
+    def convert_reference_state_dict(self, flat, strict: bool = True):
+        """Auto-import reference torch checkpoints (see utils/torch_import.py)."""
+        from ..utils.torch_import import (
+            convert_reference_nsdiff_state_dict,
+            looks_like_reference_nsdiff_state_dict,
+        )
+
+        if not looks_like_reference_nsdiff_state_dict(flat):
+            return flat
+        return convert_reference_nsdiff_state_dict(flat, self.net_param, strict=strict)
+
     def evaluation_step(self, batch, use_gx_directly: bool = False):
         """(outs [B, O, N, n_z_samples], batch_y or None) — NsDiff_model.py:180-268."""
         batch = jnp.asarray(batch)
