@@ -87,6 +87,29 @@ def test_strict_mode_rejects_unknown_and_missing_keys():
         convert_reference_nsdiff_state_dict(incomplete, NET_PARAM)
 
 
+def test_tmdm_key_map_and_roundtrip():
+    from upgdm_tpu.models.tmdm import TMDMModel
+    from upgdm_tpu.utils.torch_import import tmdm_reference_key_map
+
+    net_param = dict(NET_PARAM, task_model="TMDM", timesteps=4, k_z=1e-2,
+                     k_cond=1.0)
+    net_param.pop("rolling_length")
+    src = TMDMModel(net_param, seed=1)
+    key_map = tmdm_reference_key_map(2, 1, 2)
+    flat = flatten_params(src.params)
+    assert {dst for dst, _ in key_map.values()} == set(flat)
+
+    ref = {tk: _INV[tf](flat[fk]) for tk, (fk, tf) in key_map.items()}
+    # fixed temporal embeddings present in real TMDM checkpoints are skipped
+    ref["model.enc_embedding.temporal_embedding.hour_embed.emb.weight"] = (
+        np.zeros((24, 16)))
+    dst = TMDMModel(net_param, seed=2)
+    dst.load_state_dict(ref)
+    for k, v in flatten_params(dst.params).items():
+        np.testing.assert_allclose(np.asarray(v), np.asarray(flat[k]),
+                                   rtol=1e-6, err_msg=k)
+
+
 def test_native_state_dicts_pass_through_unchanged():
     model = NsDiffModel(NET_PARAM, seed=4)
     native = model.state_dict()

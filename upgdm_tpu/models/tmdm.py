@@ -175,6 +175,17 @@ class TMDMModel(DiffusionWrapperBase):
         return {k: True for k in self.params}
 
     # -- reference-surface API ------------------------------------------
+    def convert_reference_state_dict(self, flat, strict: bool = True):
+        """Auto-import reference torch checkpoints (see utils/torch_import.py)."""
+        from ..utils.torch_import import (
+            convert_reference_tmdm_state_dict,
+            looks_like_reference_nsdiff_state_dict,
+        )
+
+        if not looks_like_reference_nsdiff_state_dict(flat):
+            return flat
+        return convert_reference_tmdm_state_dict(flat, self.net_param, strict=strict)
+
     def training_step(self, batch):
         return self._jitted_loss(self.params, jnp.asarray(batch), self.next_key())
 

@@ -37,7 +37,9 @@ import numpy as np
 
 __all__ = [
     "nsdiff_reference_key_map",
+    "tmdm_reference_key_map",
     "convert_reference_nsdiff_state_dict",
+    "convert_reference_tmdm_state_dict",
     "looks_like_reference_nsdiff_state_dict",
 ]
 
@@ -79,34 +81,27 @@ def _projector(src: str, dst: str, p_hidden_layers: int, out: dict):
     )
 
 
-def nsdiff_reference_key_map(e_layers: int, d_layers: int,
-                             p_hidden_layers: int) -> Dict[str, tuple]:
-    """torch checkpoint key -> (flax flat key, transform name)."""
-    out: Dict[str, tuple] = {}
-    # denoiser (denoise.py:23-51)
+def _conditional_linears(prefix: str, dst_prefix: str, heads, out: dict):
+    """ConditionalGuidedModel linears (denoise.py:23-51, tmdm_model.py:23-64)."""
     for i in (1, 2, 3):
-        out[f"model.diffussion_model.lin{i}.lin.weight"] = (
-            f"model.lin{i}.Dense_0.kernel", "linear")
-        out[f"model.diffussion_model.lin{i}.lin.bias"] = (
-            f"model.lin{i}.Dense_0.bias", "copy")
-        out[f"model.diffussion_model.lin{i}.embed.weight"] = (
-            f"model.lin{i}.embed", "copy")
-    for head in ("lin4", "sigma_lin"):
-        out[f"model.diffussion_model.{head}.weight"] = (f"model.{head}.kernel", "linear")
-        out[f"model.diffussion_model.{head}.bias"] = (f"model.{head}.bias", "copy")
-    # g(x) (g_backbone.py:32-41): Sequential Linear,ReLU,LN,Linear,ReLU,LN,Linear
-    g = "cond_pred_model_g"
-    for idx, j in ((0, 0), (3, 1), (6, 2)):
-        out[f"{g}.mlp.{idx}.weight"] = (f"{g}.Dense_{j}.kernel", "linear")
-        out[f"{g}.mlp.{idx}.bias"] = (f"{g}.Dense_{j}.bias", "copy")
-    for idx, j in ((2, 0), (5, 1)):
-        out[f"{g}.mlp.{idx}.weight"] = (f"{g}.LayerNorm_{j}.scale", "copy")
-        out[f"{g}.mlp.{idx}.bias"] = (f"{g}.LayerNorm_{j}.bias", "copy")
-    # f(x) NS-Transformer (mu_backbone.py:53-110)
-    f = "cond_pred_model"
+        out[f"{prefix}.lin{i}.lin.weight"] = (f"{dst_prefix}.lin{i}.Dense_0.kernel", "linear")
+        out[f"{prefix}.lin{i}.lin.bias"] = (f"{dst_prefix}.lin{i}.Dense_0.bias", "copy")
+        out[f"{prefix}.lin{i}.embed.weight"] = (f"{dst_prefix}.lin{i}.embed", "copy")
+    for head in heads:
+        out[f"{prefix}.{head}.weight"] = (f"{dst_prefix}.{head}.kernel", "linear")
+        out[f"{prefix}.{head}.bias"] = (f"{dst_prefix}.{head}.bias", "copy")
+
+
+def _token_embedding(src: str, dst: str, out: dict):
+    out[f"{src}.value_embedding.tokenConv.weight"] = (
+        f"{dst}.TokenEmbedding_0.CircularConv1d_0.Conv_0.kernel", "conv1d")
+
+
+def _ns_transformer(f: str, e_layers: int, d_layers: int, p_hidden_layers: int,
+                    out: dict):
+    """Canonical NS-Transformer tree (mu_backbone.py:53-110 and the TMDM twin)."""
     for emb in ("enc_embedding", "dec_embedding"):
-        out[f"{f}.{emb}.value_embedding.tokenConv.weight"] = (
-            f"{f}.{emb}.TokenEmbedding_0.CircularConv1d_0.Conv_0.kernel", "conv1d")
+        _token_embedding(f"{f}.{emb}", f"{f}.{emb}", out)
     for i in range(e_layers):
         src = f"{f}.encoder.attn_layers.{i}"
         dst = f"{f}.encoder.NSEncoderLayer_{i}"
@@ -126,6 +121,41 @@ def nsdiff_reference_key_map(e_layers: int, d_layers: int,
     out[f"{f}.decoder.projection.bias"] = (f"{f}.decoder.Dense_0.bias", "copy")
     _projector(f"{f}.tau_learner", f"{f}.tau_learner", p_hidden_layers, out)
     _projector(f"{f}.delta_learner", f"{f}.delta_learner", p_hidden_layers, out)
+
+
+def nsdiff_reference_key_map(e_layers: int, d_layers: int,
+                             p_hidden_layers: int) -> Dict[str, tuple]:
+    """torch checkpoint key -> (flax flat key, transform name)."""
+    out: Dict[str, tuple] = {}
+    _conditional_linears("model.diffussion_model", "model",
+                         ("lin4", "sigma_lin"), out)
+    # g(x) (g_backbone.py:32-41): Sequential Linear,ReLU,LN,Linear,ReLU,LN,Linear
+    g = "cond_pred_model_g"
+    for idx, j in ((0, 0), (3, 1), (6, 2)):
+        out[f"{g}.mlp.{idx}.weight"] = (f"{g}.Dense_{j}.kernel", "linear")
+        out[f"{g}.mlp.{idx}.bias"] = (f"{g}.Dense_{j}.bias", "copy")
+    for idx, j in ((2, 0), (5, 1)):
+        out[f"{g}.mlp.{idx}.weight"] = (f"{g}.LayerNorm_{j}.scale", "copy")
+        out[f"{g}.mlp.{idx}.bias"] = (f"{g}.LayerNorm_{j}.bias", "copy")
+    _ns_transformer("cond_pred_model", e_layers, d_layers, p_hidden_layers, out)
+    return out
+
+
+def tmdm_reference_key_map(e_layers: int, d_layers: int,
+                           p_hidden_layers: int) -> Dict[str, tuple]:
+    """TMDM wrapper tree (tmdm_adapter.py:68-71, TMDM.py:88-91,
+    tmdm_ns_transformer.py:40-114): CARD denoiser + x-embedding on the core,
+    VAE z heads on the NS-Transformer."""
+    out: Dict[str, tuple] = {}
+    _conditional_linears("model.diffussion_model", "model", ("lin4",), out)
+    _token_embedding("model.enc_embedding", "enc_embedding", out)
+    _ns_transformer("cond_pred_model", e_layers, d_layers, p_hidden_layers, out)
+    for z in ("z_mean", "z_logvar", "z_out"):  # Sequential Linear,ReLU,Linear
+        for idx, j in ((0, 0), (2, 1)):
+            out[f"cond_pred_model.{z}.{idx}.weight"] = (
+                f"cond_pred_model.{z}_{j}.kernel", "linear")
+            out[f"cond_pred_model.{z}.{idx}.bias"] = (
+                f"cond_pred_model.{z}_{j}.bias", "copy")
     return out
 
 
@@ -140,15 +170,32 @@ def looks_like_reference_nsdiff_state_dict(flat: Dict[str, np.ndarray]) -> bool:
                or "_projection." in k for k in flat)
 
 
+def _layer_counts(net_param: dict):
+    return (
+        int(net_param.get("e_layers", 2)),
+        int(net_param.get("d_layers", 1)),
+        int(net_param.get("p_hidden_layers",
+                          len(net_param.get("p_hidden_dims", [64, 64])))),
+    )
+
+
 def convert_reference_nsdiff_state_dict(
     flat: Dict[str, np.ndarray], net_param: dict, strict: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Reference torch state_dict -> our flat param dict (NsDiff)."""
-    e_layers = int(net_param.get("e_layers", 2))
-    d_layers = int(net_param.get("d_layers", 1))
-    p_hidden = int(net_param.get("p_hidden_layers",
-                                 len(net_param.get("p_hidden_dims", [64, 64]))))
-    key_map = nsdiff_reference_key_map(e_layers, d_layers, p_hidden)
+    return _convert(flat, nsdiff_reference_key_map(*_layer_counts(net_param)), strict)
+
+
+def convert_reference_tmdm_state_dict(
+    flat: Dict[str, np.ndarray], net_param: dict, strict: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Reference torch state_dict -> our flat param dict (TMDM)."""
+    return _convert(flat, tmdm_reference_key_map(*_layer_counts(net_param)), strict)
+
+
+def _convert(
+    flat: Dict[str, np.ndarray], key_map: Dict[str, tuple], strict: bool = True,
+) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     unmapped = []
     for key, value in flat.items():
