@@ -376,11 +376,11 @@ def fast_mpv_sweep(
     the mean predictive variance and the prediction mean (both inverse-scaled,
     matching summarize_pred_future_list).  Returns (mpv [n], pred_mean [n]).
 
-    NOTE: currently EXPERIMENTAL for throughput — on the v5e used for round-1
-    benchmarks XLA compiles this fused sample+reduce program to a markedly
-    slower schedule than the plain sampling program, so the cache path
-    (batched_window_ensemble) remains the fast default despite its transfers.
-    Numerically verified against the cache path in tests/test_end_to_end.py.
+    Implementation note: sampling reuses the model's OWN compiled program
+    (``evaluation_step``) and the reduction is a separate tiny jit — fusing
+    both into one program makes XLA pick a markedly slower schedule for the
+    sampling scan.  Numerically verified against the cache path in
+    tests/test_end_to_end.py.
     """
     import jax
     import jax.numpy as jnp
@@ -392,27 +392,25 @@ def fast_mpv_sweep(
     std = jnp.asarray(model.scaler_std if model.scaler is not None else np.ones(F, np.float32))
     mean = jnp.asarray(model.scaler_mean if model.scaler is not None else np.zeros(F, np.float32))
 
-    # cache the jitted summary per (chunk, node, pred_len) on the model —
+    # cache the jitted reduce per (chunk, node, pred_len) on the model —
     # rebuilding the jit wrapper per call would recompile inside the sweep
     cache = model.__dict__.setdefault("_fast_sweep_jit_cache", {})
     cache_key = (chunk, node, pred_len)
     if cache_key not in cache:
 
         @jax.jit
-        def chunk_summary(params, flat, key, std=std, mean=mean):
-            outs = model.sample_fn(params, flat, key)  # [chunk*node, O, F, S]
-            outs = outs[:, -pred_len:, :, :]
+        def reduce_summary(outs, std=std, mean=mean):
+            outs = outs[:, -pred_len:, :, :]  # [chunk*node, O, F, S]
             outs = outs * std[None, None, :, None] + mean[None, None, :, None]
             var = outs.var(axis=-1)  # [chunk*node, O, F]
             var = var.reshape(chunk, node, pred_len, F)
             pm = outs.reshape(chunk, node, pred_len, F, -1)
             return var.mean(axis=(1, 2, 3)), pm.mean(axis=(1, 2, 3, 4))
 
-        cache[cache_key] = chunk_summary
-    chunk_summary = cache[cache_key]
+        cache[cache_key] = reduce_summary
+    reduce_summary = cache[cache_key]
 
-    mpv_out, mean_out = [], []
-    for start in range(0, n, chunk):
+    def dispatch(start):
         block = windows_array[start : start + chunk]
         valid = block.shape[0]
         if valid < chunk:
@@ -422,9 +420,23 @@ def fast_mpv_sweep(
         flat = block.reshape(chunk * node, W, F)
         if model.scaler is not None:
             flat = model.scaler_transform(flat)
-        v, m = chunk_summary(model.params, jnp.asarray(flat), model.next_key())
+        outs, _ = model.evaluation_step(jnp.asarray(flat))
+        return reduce_summary(outs), valid
+
+    mpv_out, mean_out = [], []
+
+    def drain(vm, valid):
+        v, m = vm
         mpv_out.append(np.asarray(v)[:valid])
         mean_out.append(np.asarray(m)[:valid])
+
+    pending = None  # only two scalars per window cross the tunnel
+    for start in range(0, n, chunk):
+        nxt = dispatch(start)
+        if pending is not None:
+            drain(*pending)
+        pending = nxt
+    drain(*pending)
     return np.concatenate(mpv_out), np.concatenate(mean_out)
 
 
