@@ -97,6 +97,40 @@ def test_uncertainty_ews_sampling_and_gx(trained_model_dir, tmp_path):
     np.testing.assert_allclose(res2["ews"], res["ews"], rtol=1e-6)
 
 
+def test_uncertainty_ews_cache_mode_none(trained_model_dir, tmp_path):
+    """cache_mode='none' reduces MPV on device; no ensemble cache on disk."""
+    from upgdm_tpu.eval.uncertainty import uncertainty_ews
+
+    rng = np.random.default_rng(2)
+    T = 120
+    series = (rng.normal(size=(T, 2)) * 0.1).astype(np.float32).cumsum(axis=0)
+    tdata = np.arange(T, dtype=np.float64) * 0.1
+
+    kwargs = dict(
+        model_save_file=trained_model_dir, torch_time_series=series,
+        time_data=tdata, dynamic_type="SLBP", sample_window_step=20,
+        sampling_t=0.1, uncertainty_method="sampling", save_nsdiff_g=False,
+    )
+    res_fast = uncertainty_ews(
+        cache_path=tmp_path / "none.pt", cache_mode="none", **kwargs)
+    n_windows = (T - 16) // 20 + 1
+    assert len(res_fast["ews"]) == n_windows
+    assert res_fast["pred_future_list"] is None
+    assert not (tmp_path / "none.pt").exists()
+
+    res_cache = uncertainty_ews(cache_path=tmp_path / "write.pt", **kwargs)
+    assert (tmp_path / "write.pt").exists()
+    # different RNG draws -> statistical agreement only (6 samples/window)
+    fast, ref = np.asarray(res_fast["ews"]), np.asarray(res_cache["ews"])
+    assert np.all(fast > 0) and np.all(np.isfinite(fast))
+    assert np.median(np.abs(fast - ref) / ref) < 1.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="cache_mode"):
+        uncertainty_ews(cache_path=tmp_path / "x.pt", cache_mode="bogus", **kwargs)
+
+
 def test_uncertainty_ews_gx_only(trained_model_dir, tmp_path):
     from upgdm_tpu.eval.uncertainty import uncertainty_ews
 
