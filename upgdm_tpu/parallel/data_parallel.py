@@ -96,9 +96,9 @@ def sharded_window_ensemble(
     n, node, W, F = windows_array.shape
     block_sz = n_dev * chunk_windows
     dp = dp_sharding(mesh)
-
     out = []
-    for start in range(0, n, block_sz):
+
+    def dispatch(start):
         block = windows_array[start : start + block_sz]
         valid = block.shape[0]
         if valid < block_sz:
@@ -110,8 +110,23 @@ def sharded_window_ensemble(
             flat = model.scaler_transform(flat)
         flat = jax.device_put(jnp.asarray(flat), dp)
         outs, _ = model.evaluation_step(flat)
+        try:  # start the D2H copy behind the compute (see eval/uncertainty.py)
+            outs.copy_to_host_async()
+        except AttributeError:
+            pass
+        return outs, valid
+
+    def drain(outs, valid):
         outs = np.asarray(outs)
         outs = outs[:, -pred_len:, :, :].reshape(block_sz, node, pred_len, F, outs.shape[-1])
         for i in range(valid):
             out.append(outs[i])
+
+    pending = None  # next block computes while this block's ensembles copy out
+    for start in range(0, n, block_sz):
+        nxt = dispatch(start)
+        if pending is not None:
+            drain(*pending)
+        pending = nxt
+    drain(*pending)
     return out
