@@ -113,6 +113,8 @@ def main(argv=None):
         "--output-dir", str(out / "statistics"),
         "--model-name", "NsDiff",
         "--dynamics", "SIS",
+        "--plot-checks",
+        "--plot-summary-relations",
     ])
     print(f"total {time.time()-t0:.0f}s")
     for p in sorted((out / "statistics").glob("*.csv")):
