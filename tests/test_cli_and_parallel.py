@@ -124,6 +124,29 @@ def test_cli_timeseries_hold_out(tmp_path):
         os.chdir(cwd)
 
 
+def test_optimizer_coerces_yaml_string_hparams():
+    """YAML-1.1 parses '1e-5' as a string; the factory must coerce like the
+    reference (optimizers/optimizers.py:7-10)."""
+    import jax.numpy as jnp
+    import yaml
+
+    from upgdm_tpu.train.optimizers import make_optimizer
+
+    loaded = yaml.safe_load("lr: 1e-3\nweight_decay: 1e-5\noptimizer_name: Adam")
+    assert isinstance(loaded["weight_decay"], str)  # the quirk under test
+    tx = make_optimizer(loaded)
+    params = {"w": jnp.ones((3,))}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.ones((3,))}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+    sgd = make_optimizer(
+        yaml.safe_load("lr: 1e-2\nmomentum: 9e-1\nweight_decay: 0.0\noptimizer_name: SGD"))
+    state = sgd.init(params)
+    updates, _ = sgd.update({"w": jnp.ones((3,))}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
 @pytest.mark.slow
 def test_dp_train_step_8dev():
     import jax

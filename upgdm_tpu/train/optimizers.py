@@ -67,8 +67,10 @@ def make_optimizer(optimizer_param: dict, trainable_mask=None) -> optax.Gradient
     the trainable sub-tree (the reference filters p.requires_grad,
     train/train_diffusion_spdata.py:43-47)."""
     name = optimizer_param.get("optimizer_name", "Adam")
-    lr = make_lr_schedule(optimizer_param) or optimizer_param["lr"]
-    wd = optimizer_param.get("weight_decay", 0.0)
+    # YAML-1.1 parses exponents without a decimal point ("1e-5") as strings;
+    # coerce like the reference does (optimizers/optimizers.py:7-10).
+    lr = make_lr_schedule(optimizer_param) or float(optimizer_param["lr"])
+    wd = float(optimizer_param.get("weight_decay", 0.0) or 0.0)
     if name == "Adam":
         # torch Adam + weight_decay is L2-regularised Adam (decay enters the
         # gradient BEFORE the moment estimates), not AdamW.
@@ -78,7 +80,7 @@ def make_optimizer(optimizer_param: dict, trainable_mask=None) -> optax.Gradient
             else optax.adam(lr)
         )
     elif name == "SGD":
-        momentum = optimizer_param.get("momentum", 0.0)
+        momentum = float(optimizer_param.get("momentum", 0.0) or 0.0)
         tx = optax.chain(
             optax.add_decayed_weights(wd) if wd else optax.identity(),
             optax.sgd(lr, momentum=momentum or None),
