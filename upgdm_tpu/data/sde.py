@@ -19,9 +19,9 @@ Design notes:
     SLBP_dynamic_gene.py:95-136); all segments reuse ONE compiled program.
   - The networked references pass ``g = eta * randn_like(x)`` to torchsde —
     i.e. the diffusion *coefficient* is itself resampled noise, giving
-    increments eta * z * dW (a scale-mixture with variance eta^2 dt).  We
-    draw the statistically matched additive increment eta * sqrt(dt) * N(0,1)
-    directly.
+    increments eta * z1 * dW (a product-normal scale mixture, variance
+    eta^2 dt but with excess kurtosis).  We match that distribution exactly:
+    ``noise="scale_mixture"`` draws eta * sqrt(dt) * z1 * z2.
   - SLBP's diffusion is state-independent, so the reference's Milstein
     correction vanishes and fixed-step Euler at dt is exact to the same order.
   - Divergence guard + retry (mean outside [-10, 100] -> resample), parity
@@ -99,15 +99,29 @@ def slbp_drift(y, n_level, p):
 # Generic Euler–Maruyama engine
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("drift", "n_steps", "save_every"))
-def _segment_scan(drift, y0, eps_values, sigma, dt, key, n_steps, save_every=1):
-    """Integrate one segment; returns (y_end, ys_saved [n_steps//save_every, N])."""
+@partial(jax.jit, static_argnames=("drift", "n_steps", "save_every", "noise"))
+def _segment_scan(
+    drift, y0, eps_values, sigma, dt, key, n_steps, save_every=1, noise="additive"
+):
+    """Integrate one segment; returns (y_end, ys_saved [n_steps//save_every, N]).
+
+    ``noise="additive"``      -> increment sigma * sqrt(dt) * N(0,1) (SLBP).
+    ``noise="scale_mixture"`` -> increment sigma * sqrt(dt) * z1*z2 with two
+    independent normals: the networked references hand torchsde a *random*
+    diffusion coefficient ``g = eta * randn_like(x)``, so their Euler
+    increments are the product-normal eta * z1 * dW — matched here exactly
+    (same distribution, incl. the excess kurtosis), not just to 2nd moment.
+    """
     sqrt_dt = jnp.sqrt(dt)
 
     def step(carry, inp):
         y, = carry
         eps, k = inp
-        dw = jax.random.normal(k, y.shape, y.dtype)
+        if noise == "scale_mixture":
+            z = jax.random.normal(k, (2,) + y.shape, y.dtype)
+            dw = z[0] * z[1]
+        else:
+            dw = jax.random.normal(k, y.shape, y.dtype)
         y = y + drift(y, eps) * dt + sigma * sqrt_dt * dw
         return (y,), y
 
@@ -130,6 +144,7 @@ def simulate_sde(
     burn_control: float = 0.0,
     max_segment_steps: int = 1_000_000,
     save_every: int = 1,
+    noise: str = "additive",
 ):
     """Burn-in + segmented integration; returns (ts, ys, control_values).
 
@@ -145,7 +160,7 @@ def simulate_sde(
     if n_burn > 0:
         key, kb = jax.random.split(key)
         eps_burn = jnp.full((n_burn,), burn_control, jnp.float32)
-        y0, _ = _segment_scan(drift, y0, eps_burn, sigma, dt, kb, n_burn)
+        y0, _ = _segment_scan(drift, y0, eps_burn, sigma, dt, kb, n_burn, noise=noise)
 
     n_total = int(total_time / dt)
     ts = np.linspace(0.0, total_time, n_total, dtype=np.float64)
@@ -158,7 +173,7 @@ def simulate_sde(
         key, ks = jax.random.split(key)
         y, ys = _segment_scan(
             drift, y, jnp.asarray(eps_all[start : start + n_seg]), sigma, dt, ks,
-            n_seg, save_every,
+            n_seg, save_every, noise=noise,
         )
         ys_parts.append(np.asarray(ys))
     ys = np.concatenate(ys_parts, axis=0)
@@ -235,6 +250,7 @@ def simulate_network_system(
         ts, ys, eps = simulate_sde(
             drift, y0, eta, control_fn, total_time, dt, key,
             burn_time=burn_time, burn_control=burn_control, save_every=save_every,
+            noise="scale_mixture",
         )
         mean = float(np.nanmean(ys))
         if np.isfinite(mean) and -10.0 < mean < 100.0:

@@ -399,7 +399,10 @@ def fast_mpv_sweep(
     if cache_key not in cache:
 
         @jax.jit
-        def reduce_summary(outs, std=std, mean=mean):
+        def _reduce(outs, std, mean):
+            # std/mean are traced arguments (NOT captured constants) so a
+            # later scaler_fit on the same model can't leave the cached
+            # program inverse-scaling with stale statistics.
             outs = outs[:, -pred_len:, :, :]  # [chunk*node, O, F, S]
             outs = outs * std[None, None, :, None] + mean[None, None, :, None]
             var = outs.var(axis=-1)  # [chunk*node, O, F]
@@ -407,8 +410,11 @@ def fast_mpv_sweep(
             pm = outs.reshape(chunk, node, pred_len, F, -1)
             return var.mean(axis=(1, 2, 3)), pm.mean(axis=(1, 2, 3, 4))
 
-        cache[cache_key] = reduce_summary
-    reduce_summary = cache[cache_key]
+        cache[cache_key] = _reduce
+    _cached_reduce = cache[cache_key]
+
+    def reduce_summary(outs):
+        return _cached_reduce(outs, std, mean)
 
     def dispatch(start):
         block = windows_array[start : start + chunk]

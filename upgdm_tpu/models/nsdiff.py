@@ -127,9 +127,12 @@ class NsDiffModel(DiffusionWrapperBase):
         from ..utils.io import load_checkpoint, unflatten_params
 
         _, sd = load_checkpoint(str(pretrain_g_path) + "/model_trained")
-        sd = {k.replace("cond_pred_model_g.", ""): v for k, v in sd.items()}
-        sd.pop("scaler_mean", None)
-        sd.pop("scaler_std", None)
+        # The pretrain stage saves the FULL model state; keep only the g
+        # subtree (keys outside the prefix would otherwise be injected as
+        # dead duplicates into cond_pred_model_g and persist into the final
+        # checkpoint; torch strict-load rejects extras too).
+        prefix = "cond_pred_model_g."
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
         self.params = dict(self.params)
         self.params["cond_pred_model_g"] = jax.tree.map(jnp.asarray, unflatten_params(sd))
 
@@ -137,9 +140,10 @@ class NsDiffModel(DiffusionWrapperBase):
         from ..utils.io import load_checkpoint, unflatten_params
 
         _, sd = load_checkpoint(str(pretrain_f_path) + "/model_trained")
-        sd = {k.replace("cond_pred_model.", ""): v for k, v in sd.items()}
-        sd.pop("scaler_mean", None)
-        sd.pop("scaler_std", None)
+        # Keep only the f subtree ("cond_pred_model." does not match the
+        # "_g." keys, so this also excludes the g head) — see _load_pretrain_g.
+        prefix = "cond_pred_model."
+        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
         self.params = dict(self.params)
         self.params["cond_pred_model"] = jax.tree.map(jnp.asarray, unflatten_params(sd))
 

@@ -20,10 +20,20 @@ def make_lr_schedule(optimizer_param: dict) -> Optional[optax.Schedule]:
     if not optimizer_param.get("scheduler_set"):
         return None
     name = optimizer_param.get("scheduler", "StepLR")
-    base_lr = optimizer_param["lr"]
+    # YAML-1.1 parses "1e-5" as a string; coerce before arithmetic.
+    base_lr = float(optimizer_param["lr"])
+
+    def _p(*keys, default):
+        """First present key wins; reference schema names (optimizers/optimizers.py:18-25)
+        listed first, earlier local aliases kept as fallbacks."""
+        for k in keys:
+            if k in optimizer_param:
+                return optimizer_param[k]
+        return default
+
     if name == "StepLR":
-        step = optimizer_param.get("steplr_step_size", optimizer_param.get("StepLR_step_size", 30))
-        gamma = optimizer_param.get("steplr_gamma", optimizer_param.get("StepLR_gamma", 0.1))
+        step = _p("stepLR_stepsize", "steplr_step_size", "StepLR_step_size", default=30)
+        gamma = _p("stepLR_gamma", "steplr_gamma", "StepLR_gamma", default=0.1)
 
         def sched(epoch):
             return base_lr * gamma ** (epoch // step)
@@ -43,13 +53,13 @@ def make_lr_schedule(optimizer_param: dict) -> Optional[optax.Schedule]:
 
         return sched
     if name == "CosineAnnealingLR":
-        t_max = optimizer_param.get("CosLR_T_max", 50)
-        eta_min = optimizer_param.get("CosLR_eta_min", 0.0)
+        t_max = _p("CALR_Tmax", "CosLR_T_max", default=50)
+        eta_min = float(_p("CALR_minlr", "CosLR_eta_min", default=0.0))
         return optax.cosine_decay_schedule(base_lr, t_max, alpha=eta_min / max(base_lr, 1e-12))
     if name == "CyclicLR":
-        base = optimizer_param.get("CyclicLR_base_lr", base_lr * 0.1)
-        max_lr = optimizer_param.get("CyclicLR_max_lr", base_lr)
-        step_size = optimizer_param.get("CyclicLR_step_size_up", 10)
+        base = float(_p("CyclicLR_blr", "CyclicLR_base_lr", default=base_lr * 0.1))
+        max_lr = float(_p("CyclicLR_mlr", "CyclicLR_max_lr", default=base_lr))
+        step_size = _p("CyclicLR_upsteps", "CyclicLR_step_size_up", default=10)
 
         def sched(epoch):
             import jax.numpy as jnp
@@ -68,8 +78,13 @@ def make_optimizer(optimizer_param: dict, trainable_mask=None) -> optax.Gradient
     train/train_diffusion_spdata.py:43-47)."""
     name = optimizer_param.get("optimizer_name", "Adam")
     # YAML-1.1 parses exponents without a decimal point ("1e-5") as strings;
-    # coerce like the reference does (optimizers/optimizers.py:7-10).
-    lr = make_lr_schedule(optimizer_param) or float(optimizer_param["lr"])
+    # coerce like the reference does (optimizers/optimizers.py:7-10).  The
+    # training loop may pre-resolve lr to a per-step schedule callable
+    # (loop.py scheduler_set path) — pass that through untouched.
+    raw_lr = optimizer_param["lr"]
+    lr = make_lr_schedule(optimizer_param) or (
+        raw_lr if callable(raw_lr) else float(raw_lr)
+    )
     wd = float(optimizer_param.get("weight_decay", 0.0) or 0.0)
     if name == "Adam":
         # torch Adam + weight_decay is L2-regularised Adam (decay enters the
