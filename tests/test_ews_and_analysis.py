@@ -111,17 +111,13 @@ def test_infer_model_times():
     np.testing.assert_allclose(times, np.arange(100.0)[19::10][:5])
 
 
-@pytest.mark.skipif(
-    not Path("/root/reference/evaluation_and_analysis/bury_2021_ml_models").exists(),
-    reason="no reference keras artifacts",
-)
 @pytest.mark.slow
 def test_bury_classifier_loader_and_inc(tmp_path, rng):
     tf = pytest.importorskip("tensorflow")
-    from upgdm_tpu.eval.bury import apply_bury_classifiers, load_classifiers
+    from upgdm_tpu.eval.bury import DEFAULT_MODEL_ROOT, apply_bury_classifiers, load_classifiers
 
-    root = Path("/root/reference/evaluation_and_analysis/bury_2021_ml_models/best_models_tf215")
-    classifiers = load_classifiers(root, 500, max_models=1)
+    # the released classifier binaries are vendored with the repo
+    classifiers = load_classifiers(DEFAULT_MODEL_ROOT, 500, max_models=1)
     assert len(classifiers) == 1
     series = pd.Series(rng.normal(size=120), index=np.arange(120, dtype=float))
     table = apply_bury_classifiers(series, classifiers, inc_points=40, classifier_len=500)

@@ -256,3 +256,29 @@ def test_graph_properties():
     assert graph_properties(adj, mask, "LCC") == 3.0
     assert graph_properties(adj, mask, "global_CC") == 1.0
     assert 0 < graph_properties(adj, mask, "density") < 1
+
+
+def test_compute_local_slopes_matches_naive_polyfit():
+    """Oracle check of the batched rolling OLS: per-window np.polyfit over the
+    finite points, including windows with NaN gaps and degenerate-x windows."""
+    import upgdm_tpu.figures.mpv_collapse as M
+
+    rng = np.random.default_rng(3)
+    t = np.cumsum(rng.uniform(0.5, 1.5, size=60))
+    v = np.sin(t / 3.0) + rng.normal(scale=0.05, size=60)
+    v[[7, 8, 20]] = np.nan           # gap windows take the masked path
+    t2 = t.copy()
+    t2[30:33] = t2[30]               # zero x-spread inside some windows is fine (denom>0 overall)
+
+    W = 7
+    times, slopes = M.compute_local_slopes(t2, v, W)
+    exp_t, exp_s = [], []
+    for end in range(W, len(v) + 1):
+        x, y = t2[end - W:end], v[end - W:end]
+        ok = np.isfinite(x) & np.isfinite(y)
+        if ok.sum() < 3 or np.ptp(x[ok]) == 0:
+            continue
+        exp_t.append(t2[end - 1])
+        exp_s.append(np.polyfit(x[ok], y[ok], 1)[0])
+    np.testing.assert_allclose(times, exp_t)
+    np.testing.assert_allclose(slopes, exp_s, rtol=1e-8)

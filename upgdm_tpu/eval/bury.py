@@ -33,6 +33,13 @@ from .ews_classic import detrend
 
 PROBABILITY_COLUMNS = ["fold_prob", "hopf_prob", "branch_prob", "null_prob"]
 
+# The released Bury et al. classifier binaries are vendored with the repo
+# (run_bury_ml_baseline.py:24-30 layout), so the baseline runs standalone.
+DEFAULT_MODEL_ROOT = (
+    Path(__file__).resolve().parents[2]
+    / "evaluation_and_analysis" / "bury_2021_ml_models" / "best_models_tf215"
+)
+
 __all__ = [
     "load_keras_model",
     "load_classifiers",
@@ -56,53 +63,74 @@ def load_keras_model(model_path: Path):
     try:
         return load_model(model_path, compile=False, safe_mode=False)
     except (ValueError, TypeError):
-        import h5py
-
-        with zipfile.ZipFile(model_path) as archive:
-            config = archive.read("config.json").decode("utf-8")
-            weights_file = tempfile.NamedTemporaryFile(delete=False, suffix=".h5")
-            weights_file.write(archive.read("model.weights.h5"))
-            weights_file.close()
         try:
-            model = model_from_json(config)
+            model = model_from_json(_archive_member(model_path, "config.json").decode("utf-8"))
         except (ValueError, TypeError):
             # Keras 3 rejects Keras-2 layer kwargs (batch_input_shape,
             # time_major, ...): rebuild the Sequential graph layer by layer
             # from the sanitised legacy config.
-            model = _rebuild_from_legacy_config(json.loads(config))
-        with h5py.File(weights_file.name, "r") as handle:
-            used = set()
-
-            def read_group_arrays(group):
-                vars_group = group["cell"]["vars"] if "cell" in group else group["vars"]
-                return [vars_group[str(i)][()] for i in range(len(vars_group.keys()))]
-
-            def same_shapes(layer, arrays):
-                return [tuple(w.shape) for w in layer.get_weights()] == [
-                    tuple(a.shape) for a in arrays
-                ]
-
-            layers_group = handle["layers"]
-            for layer in model.layers:
-                if not layer.weights:
-                    continue
-                candidate = layer.name if layer.name in layers_group else None
-                if candidate is not None and not same_shapes(
-                    layer, read_group_arrays(layers_group[candidate])
-                ):
-                    candidate = None
-                if candidate is None:
-                    for group_name in layers_group.keys():
-                        if group_name in used:
-                            continue
-                        if same_shapes(layer, read_group_arrays(layers_group[group_name])):
-                            candidate = group_name
-                            break
-                if candidate is None:
-                    raise ValueError(f"Missing weights for layer {layer.name} in {model_path}")
-                layer.set_weights(read_group_arrays(layers_group[candidate]))
-                used.add(candidate)
+            model = _rebuild_from_legacy_config(
+                json.loads(_archive_member(model_path, "config.json").decode("utf-8"))
+            )
+        _bind_archive_weights(model, model_path)
         return model
+
+
+def _archive_member(model_path: Path, member: str) -> bytes:
+    with zipfile.ZipFile(model_path) as archive:
+        return archive.read(member)
+
+
+def _bind_archive_weights(model, model_path: Path) -> None:
+    """Assign HDF5 weight groups to model layers when tf.keras can't resolve
+    the archive's internal layer paths itself.
+
+    Two-phase global assignment (vs. a greedy per-layer scan): first every
+    group whose name equals a layer name (and whose tensor shapes agree) is
+    claimed; then each remaining layer takes the unique leftover group with a
+    matching shape signature, erroring on ambiguity instead of guessing.
+    """
+    import h5py
+
+    with tempfile.NamedTemporaryFile(suffix=".h5") as tmp:
+        tmp.write(_archive_member(model_path, "model.weights.h5"))
+        tmp.flush()
+        with h5py.File(tmp.name, "r") as handle:
+            groups = {}  # name -> list of arrays, in var order
+            for name, group in handle["layers"].items():
+                bank = group["cell"]["vars"] if "cell" in group else group["vars"]
+                groups[name] = [bank[str(i)][()] for i in range(len(bank))]
+
+    signature = lambda arrays: tuple(tuple(a.shape) for a in arrays)
+    weighted = [l for l in model.layers if l.weights]
+    assignment = {}
+
+    # phase 1: trust matching names
+    for layer in weighted:
+        arrays = groups.get(layer.name)
+        if arrays is not None and signature(arrays) == signature(layer.get_weights()):
+            assignment[layer.name] = arrays
+
+    # phase 2: remaining layers resolve by shape signature among leftovers
+    leftovers = {n: a for n, a in groups.items() if n not in assignment}
+    for layer in weighted:
+        if layer.name in assignment:
+            continue
+        want = signature(layer.get_weights())
+        hits = [n for n, a in leftovers.items() if signature(a) == want]
+        if not hits:
+            raise ValueError(f"Missing weights for layer {layer.name} in {model_path}")
+        if len(hits) > 1 and sum(
+            1 for l in weighted
+            if l.name not in assignment and signature(l.get_weights()) == want
+        ) < len(hits):
+            raise ValueError(
+                f"Ambiguous weight groups {hits} for layer {layer.name} in {model_path}"
+            )
+        assignment[layer.name] = leftovers.pop(hits[0])
+
+    for layer in weighted:
+        layer.set_weights(assignment[layer.name])
 
 
 _LEGACY_LAYER_KWARGS = {"batch_input_shape", "time_major"}
@@ -292,7 +320,7 @@ def run_one(args, data_name: str):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Run Bury et al. ML EWS classifiers.")
     parser.add_argument("--data-root", type=Path, default=Path("dataset/real_data"))
-    parser.add_argument("--model-root", type=Path, required=True,
+    parser.add_argument("--model-root", type=Path, default=DEFAULT_MODEL_ROOT,
                         help="dir with len500/len1500 subdirs of best_model_*.keras")
     parser.add_argument("--output-root", type=Path, default=Path("ews_results/bury_2021_ml_probs"))
     parser.add_argument("--data-real-names", nargs="+", required=True)

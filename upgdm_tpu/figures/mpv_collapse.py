@@ -149,9 +149,41 @@ def load_raw_state(data_file):
     return ts, ys.mean(axis=1)
 
 
+def _rolling_means(values, width):
+    """Full-window trailing means, one per start index.  Rows of
+    ``sliding_window_view`` are contiguous slices of the base buffer, so the
+    per-row pairwise reduction is bit-identical to ``np.mean`` of each slice."""
+    return np.lib.stride_tricks.sliding_window_view(values, width).mean(axis=-1)
+
+
+def _first_sis_crossing(state_mean, trend):
+    """SIS: index where the smoothed infection level first crosses the
+    endemic threshold (direction set by the control-parameter trend)."""
+    n = len(state_mean)
+    width = min(10, n)
+    smoothed = _rolling_means(state_mean, width)[: n - width]
+    crossed = smoothed > SIS_THRESHOLD if trend == "increase" else smoothed < SIS_THRESHOLD
+    if crossed.any():
+        return int(np.argmax(crossed)), "sis_threshold"
+    # no crossing anywhere: fall back to the largest single-step jump
+    return int(np.argmax(np.abs(np.diff(state_mean)))), "sis_max_diff_fallback"
+
+
+def _steepest_lagged_change(state_mean):
+    """Non-SIS: index maximising |s[i+w] - s[i]| / w, i.e. the steepest mean
+    state change over a fixed lag."""
+    n = len(state_mean)
+    lag = min(10, n - 1)
+    rate = np.abs(state_mean[lag:] - state_mean[:-lag]) / lag
+    if rate.size == 0:
+        return None, None
+    return int(np.argmax(rate)), "max_window_change"
+
+
 def locate_transition(time, state_mean, dynamic_type, trend) -> dict:
-    """Transition locator (mpv_collapse_summary.py:213-252): SIS uses a
-    rolling-mean threshold crossing; others the max windowed state change."""
+    """Raw-state transition locator.  Metric spec: mpv_collapse_summary.py
+    :213-252 (SIS rolling-mean threshold crossing; otherwise the maximum
+    lagged state change); implementation re-derived, vectorized."""
     time = np.asarray(time, float)
     state_mean = np.asarray(state_mean, float)
     n = len(state_mean)
@@ -159,67 +191,77 @@ def locate_transition(time, state_mean, dynamic_type, trend) -> dict:
         return {"is_transition": False, "skip_reason": "too_short"}
 
     if dynamic_type == "SIS":
-        window_size = min(10, n)
-        rolling = np.array(
-            [np.mean(state_mean[i : i + window_size]) for i in range(n - window_size)]
-        )
-        if trend == "increase":
-            candidates = np.argwhere(rolling > SIS_THRESHOLD).flatten()
-        else:
-            candidates = np.argwhere(rolling < SIS_THRESHOLD).flatten()
-        idx = int(candidates[0]) if len(candidates) else int(np.argmax(np.abs(np.diff(state_mean))))
-        method = "sis_threshold" if len(candidates) else "sis_max_diff_fallback"
+        idx, method = _first_sis_crossing(state_mean, trend)
     else:
-        window_size = min(10, n - 1)
-        score = np.abs(state_mean[window_size:] - state_mean[:-window_size]) / window_size
-        if len(score) == 0:
+        idx, method = _steepest_lagged_change(state_mean)
+        if idx is None:
             return {"is_transition": False, "skip_reason": "too_short_for_change_score"}
-        idx = int(np.argmax(score))
-        method = "max_window_change"
 
-    window = max(MIN_TRANSITION_WINDOW, min(n // 20, 100))
-    before = state_mean[max(0, idx - window) : idx]
-    after = state_mean[idx : min(n, idx + window)]
-    pre_mean = float(np.nanmean(before)) if len(before) else np.nan
-    post_mean = float(np.nanmean(after)) if len(after) else np.nan
-    state_change = (
-        abs(post_mean - pre_mean) if np.isfinite(pre_mean) and np.isfinite(post_mean) else np.nan
-    )
-    state_range = float(np.nanmax(state_mean) - np.nanmin(state_mean))
-    change_ratio = state_change / state_range if state_range > 0 and np.isfinite(state_change) else np.nan
+    # magnitude of the jump: mean level in a context window either side of idx
+    half = max(MIN_TRANSITION_WINDOW, min(n // 20, 100))
+    pre = state_mean[max(0, idx - half) : idx]
+    post = state_mean[idx : idx + half]
+    pre_mean = float(np.nanmean(pre)) if pre.size else np.nan
+    post_mean = float(np.nanmean(post)) if post.size else np.nan
+    jump = abs(post_mean - pre_mean) if np.isfinite(pre_mean) and np.isfinite(post_mean) else np.nan
+    span = float(np.nanmax(state_mean) - np.nanmin(state_mean))
     return {
         "is_transition": True,
         "skip_reason": "",
         "transition_time": float(time[idx]),
         "transition_index": idx,
         "transition_method": method,
-        "state_change": state_change,
-        "state_change_ratio": change_ratio,
+        "state_change": jump,
+        "state_change_ratio": jump / span if span > 0 and np.isfinite(jump) else np.nan,
     }
 
 
+def _ols_slope(x, y):
+    """Least-squares slope of y on x; None when degenerate (<3 finite points
+    or zero spread in x)."""
+    ok = np.isfinite(x) & np.isfinite(y)
+    if ok.sum() < 3:
+        return None
+    x, y = x[ok], y[ok]
+    xc = x - np.mean(x)
+    sxx = np.sum(xc * xc)
+    if sxx <= 0:
+        return None
+    return float(np.sum(xc * (y - np.mean(y))) / sxx)
+
+
 def compute_local_slopes(time_points, values, window_points):
-    """Trailing-window OLS slopes (mpv_collapse_summary.py:255-281)."""
+    """Trailing-window OLS slopes, stamped at each window's right edge.
+    Metric spec: mpv_collapse_summary.py:255-281; re-derived as one batched
+    rolling regression — ``sliding_window_view`` rows alias contiguous slices,
+    so the row-wise reductions reproduce the per-window math bit-for-bit."""
     time_points = np.asarray(time_points, float)
     values = np.asarray(values, float)
-    window_points = max(3, min(int(window_points), len(values)))
-    if len(values) < window_points:
+    W = max(3, min(int(window_points), len(values)))
+    if len(values) < W:
         return np.asarray([], float), np.asarray([], float)
-    slope_times, slopes = [], []
-    for end in range(window_points, len(values) + 1):
-        x = time_points[end - window_points : end]
-        y = values[end - window_points : end]
-        finite = np.isfinite(x) & np.isfinite(y)
-        if finite.sum() < 3:
-            continue
-        x, y = x[finite], y[finite]
-        xc = x - np.mean(x)
-        denom = np.sum(xc * xc)
-        if denom <= 0:
-            continue
-        slope_times.append(float(time_points[end - 1]))
-        slopes.append(float(np.sum(xc * (y - np.mean(y))) / denom))
-    return np.asarray(slope_times, float), np.asarray(slopes, float)
+
+    X = np.lib.stride_tricks.sliding_window_view(time_points, W)  # [m, W]
+    Y = np.lib.stride_tricks.sliding_window_view(values, W)
+    clean = np.isfinite(X).all(axis=1) & np.isfinite(Y).all(axis=1)
+
+    # batched OLS over the all-finite windows (the common case)
+    Xc = X - X.mean(axis=1, keepdims=True)
+    sxx = (Xc * Xc).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sxy = (Xc * (Y - Y.mean(axis=1, keepdims=True))).sum(axis=1)
+        batched = sxy / sxx
+    keep = clean & (sxx > 0)
+    out = np.where(keep, batched, np.nan)
+
+    # windows with gaps: rank-deficient per-row math above is wrong for them,
+    # so redo those few with the masked scalar regression
+    for i in np.flatnonzero(~clean):
+        s = _ols_slope(X[i], Y[i])
+        if s is not None:
+            out[i] = s
+    kept = np.isfinite(out)
+    return time_points[W - 1 :][kept].astype(float), out[kept]
 
 
 def slope_metrics_from_mpv(slope_times, slopes, transition_time) -> dict:
@@ -246,46 +288,60 @@ def slope_metrics_from_mpv(slope_times, slopes, transition_time) -> dict:
     }
 
 
+def _fractional_span(n, fractions):
+    """Half-open index range covering the given fraction band of n points
+    (floor/ceil bounds, at least one point)."""
+    lo = int(np.floor(n * fractions[0]))
+    hi = max(lo + 1, min(int(np.ceil(n * fractions[1])), n))
+    return lo, hi
+
+
+def _drop_percent(baseline, value):
+    return 100.0 * (baseline - value) / baseline
+
+
 def metric_row_from_mpv(time_points, mpv_values, transition_time, slope_window_points=None) -> dict:
-    """Baseline/drop/lead-time metrics for one trajectory
-    (mpv_collapse_summary.py:313-369)."""
-    time_points = np.asarray(time_points, float)
-    mpv_values = np.asarray(mpv_values, float)
-    finite = np.isfinite(time_points) & np.isfinite(mpv_values)
-    time_points, mpv_values = time_points[finite], mpv_values[finite]
-    if len(mpv_values) < 3:
+    """Baseline / MPV-drop / lead-time metrics for one trajectory.  Metric
+    spec: mpv_collapse_summary.py:313-369 (baseline = mean MPV over an early
+    fraction band of the pre-transition scan; drops in % of baseline; lead
+    time = transition minus global-minimum time); code re-derived."""
+    t = np.asarray(time_points, float)
+    mpv = np.asarray(mpv_values, float)
+    ok = np.isfinite(t) & np.isfinite(mpv)
+    t, mpv = t[ok], mpv[ok]
+    if mpv.size < 3:
         return {"skip_reason": "too_few_mpv_points"}
-    pre_indices = np.flatnonzero(time_points < transition_time)
-    if len(pre_indices) < 3:
+
+    pre = np.flatnonzero(t < transition_time)
+    if pre.size < 3:
         return {"skip_reason": "too_few_pre_transition_mpv_points"}
-    start = int(np.floor(len(pre_indices) * BASELINE_FRACTION_RANGE[0]))
-    end = int(np.ceil(len(pre_indices) * BASELINE_FRACTION_RANGE[1]))
-    end = max(start + 1, min(end, len(pre_indices)))
-    baseline_mpv = float(np.nanmean(mpv_values[pre_indices[start:end]]))
-    if not np.isfinite(baseline_mpv) or baseline_mpv <= 0:
+
+    lo, hi = _fractional_span(pre.size, BASELINE_FRACTION_RANGE)
+    baseline = float(np.nanmean(mpv[pre[lo:hi]]))
+    if not (np.isfinite(baseline) and baseline > 0):
         return {"skip_reason": "invalid_baseline_mpv"}
-    pre_values = mpv_values[pre_indices]
-    min_pre_idx = int(pre_indices[int(np.nanargmin(pre_values))])
-    min_global_idx = int(np.nanargmin(mpv_values))
-    metrics = {
-        "baseline_mpv": baseline_mpv,
-        "baseline_start_time": float(time_points[pre_indices[start]]),
-        "baseline_end_time": float(time_points[pre_indices[end - 1]]),
-        "min_mpv_before_transition": float(mpv_values[min_pre_idx]),
-        "min_mpv_before_transition_time": float(time_points[min_pre_idx]),
-        "min_mpv_global": float(mpv_values[min_global_idx]),
-        "pre_transition_drop_percent": 100.0 * (baseline_mpv - float(mpv_values[min_pre_idx])) / baseline_mpv,
-        "global_drop_percent": 100.0 * (baseline_mpv - float(mpv_values[min_global_idx])) / baseline_mpv,
-        "global_min_mpv_time": float(time_points[min_global_idx]),
-        "lead_time": float(transition_time - float(time_points[min_global_idx])),
+
+    i_pre = int(pre[int(np.nanargmin(mpv[pre]))])   # deepest pre-transition dip
+    i_glob = int(np.nanargmin(mpv))                 # deepest dip anywhere
+    row = {
+        "baseline_mpv": baseline,
+        "baseline_start_time": float(t[pre[lo]]),
+        "baseline_end_time": float(t[pre[hi - 1]]),
+        "min_mpv_before_transition": float(mpv[i_pre]),
+        "min_mpv_before_transition_time": float(t[i_pre]),
+        "min_mpv_global": float(mpv[i_glob]),
+        "pre_transition_drop_percent": _drop_percent(baseline, float(mpv[i_pre])),
+        "global_drop_percent": _drop_percent(baseline, float(mpv[i_glob])),
+        "global_min_mpv_time": float(t[i_glob]),
+        "lead_time": float(transition_time - float(t[i_glob])),
         "skip_reason": "",
     }
     if slope_window_points is not None:
-        slope_times, slopes = compute_local_slopes(time_points, mpv_values, slope_window_points)
-        metrics.update(slope_metrics_from_mpv(slope_times, slopes, transition_time))
-        metrics["slope_times"] = slope_times
-        metrics["slopes"] = slopes
-    return metrics
+        slope_times, slopes = compute_local_slopes(t, mpv, slope_window_points)
+        row.update(slope_metrics_from_mpv(slope_times, slopes, transition_time))
+        row["slope_times"] = slope_times
+        row["slopes"] = slopes
+    return row
 
 
 def summarize_metric(values) -> dict:
