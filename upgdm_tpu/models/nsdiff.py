@@ -57,6 +57,16 @@ class NsDiffModel(DiffusionWrapperBase):
         self.diffusion_steps = p["diffusion_steps"]
         self.n_z_samples = p.get("n_z_samples", 100)
         self.parallel_sample = p.get("parallel_sample", 10)  # kept for config parity
+        # Pretrain stages hold ONLY their submodule, like the reference
+        # (NsDiff_model.py:86-93): their checkpoints then contain just that
+        # subtree, which is also what the reference's shipped pretrain
+        # binaries (e.g. ews_results/NsDiff_preg/models/*) look like.
+        has_denoiser = True
+        if train_model_select == "pretrain_f":
+            has_f, has_g, has_denoiser = True, False, False
+        elif train_model_select == "pretrain_g":
+            has_f, has_g, has_denoiser = False, True, False
+        self.has_denoiser = has_denoiser
         self.has_f = has_f
         self.has_g = has_g
         self.wo_uans = wo_uans
@@ -94,7 +104,9 @@ class NsDiffModel(DiffusionWrapperBase):
         self.cond_pred_model_g = SigmaEstimation(
             self.windows, self.pred_len, self.dataset_nf, 512, self.rolling_length
         ) if has_g else None
-        self.denoiser = NsDiffDenoiser(self.dataset_nf, self.diffusion_steps)
+        self.denoiser = (
+            NsDiffDenoiser(self.dataset_nf, self.diffusion_steps) if has_denoiser else None
+        )
 
         self._init_params()
         if train_model_select == "NsDiff_model" and p.get("load_pretrain") and pretrain_g_path:
@@ -120,7 +132,8 @@ class NsDiffModel(DiffusionWrapperBase):
             params["cond_pred_model_g"] = jax.jit(self.cond_pred_model_g.init)(
                 {"params": kg}, x
             )["params"]
-        params["model"] = jax.jit(self.denoiser.init)({"params": km}, y, y, y, t)["params"]
+        if self.denoiser is not None:
+            params["model"] = jax.jit(self.denoiser.init)({"params": km}, y, y, y, t)["params"]
         self.params = params
 
     def _load_pretrain_g(self, pretrain_g_path):
@@ -300,7 +313,14 @@ class NsDiffModel(DiffusionWrapperBase):
 
         if not looks_like_reference_nsdiff_state_dict(flat):
             return flat
-        return convert_reference_nsdiff_state_dict(flat, self.net_param, strict=strict)
+        components = ["model"] if self.denoiser is not None else []
+        if self.cond_pred_model is not None:
+            components.append("cond_pred_model")
+        if self.cond_pred_model_g is not None:
+            components.append("cond_pred_model_g")
+        return convert_reference_nsdiff_state_dict(
+            flat, self.net_param, strict=strict, components=tuple(components)
+        )
 
     def evaluation_step(self, batch, use_gx_directly: bool = False):
         """(outs [B, O, N, n_z_samples], batch_y or None) — NsDiff_model.py:180-268."""

@@ -166,8 +166,11 @@ def _strip_module(key: str) -> str:
 
 
 def looks_like_reference_nsdiff_state_dict(flat: Dict[str, np.ndarray]) -> bool:
-    return any(_strip_module(k).startswith("model.diffussion_model.")
-               or "_projection." in k for k in flat)
+    return any(
+        _strip_module(k).startswith(("model.diffussion_model.", "cond_pred_model_g.mlp."))
+        or "_projection." in k
+        for k in flat
+    )
 
 
 def _layer_counts(net_param: dict):
@@ -181,9 +184,18 @@ def _layer_counts(net_param: dict):
 
 def convert_reference_nsdiff_state_dict(
     flat: Dict[str, np.ndarray], net_param: dict, strict: bool = True,
+    components=("model", "cond_pred_model", "cond_pred_model_g"),
 ) -> Dict[str, np.ndarray]:
-    """Reference torch state_dict -> our flat param dict (NsDiff)."""
-    return _convert(flat, nsdiff_reference_key_map(*_layer_counts(net_param)), strict)
+    """Reference torch state_dict -> our flat param dict (NsDiff).
+
+    ``components`` restricts the expected tree for the ablation variants
+    (NsDiff_model.py:271-313: Guassian/cond_mean/cond_var drop f and/or g),
+    whose checkpoints legitimately lack those subtrees."""
+    key_map = {
+        src: dst for src, dst in nsdiff_reference_key_map(*_layer_counts(net_param)).items()
+        if src.split(".")[0] in components
+    }
+    return _convert(flat, key_map, strict)
 
 
 def convert_reference_tmdm_state_dict(
