@@ -1,0 +1,100 @@
+"""DiffusionTS importer validated against the REFERENCE torch module itself.
+
+The reference ships no DiffusionTS weights (.MISSING_LARGE_BLOBS), but its
+Transformer source is pure torch+einops, so the strongest available check is:
+instantiate the reference module, convert its randomly-initialised state_dict
+through dts_reference_key_map, and demand forward parity (trend AND
+season_error heads) of our flax DTSTransformer on the same inputs.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+pytestmark = pytest.mark.skipif(not REF.exists(), reason="no reference checkout")
+
+NET_PARAM = dict(
+    dataset_nf=2, windows=16, pred_len=8, diffusion_steps=4, timesteps=8,
+    d_model=16, n_heads=2, n_layer_enc=1, n_layer_dec=2, n_z_samples=2,
+    scaler_type=None, task_model="DiffusionTS",
+)
+
+
+@pytest.fixture(scope="module")
+def ref_transformer():
+    sys.path.insert(0, str(REF))
+    try:
+        import torch
+
+        from models.Diffusion_model.DiffusionTS.diffusionts_transformer import (
+            Transformer,
+        )
+
+        torch.manual_seed(0)
+        m = Transformer(
+            n_feat=2, n_channel=24, n_layer_enc=1, n_layer_dec=2, n_embd=16,
+            n_heads=2, attn_pdrop=0.0, resid_pdrop=0.0, mlp_hidden_times=4,
+            max_len=24,
+        ).eval()
+        return m
+    finally:
+        sys.path.remove(str(REF))
+
+
+def test_dts_forward_parity_with_reference_module(ref_transformer):
+    import torch
+
+    from upgdm_tpu.models.diffusionts import DiffusionTSModel
+    from upgdm_tpu.utils.io import unflatten_params
+    from upgdm_tpu.utils.torch_import import convert_reference_dts_state_dict
+
+    # wrapper checkpoints carry the model.model.* prefix
+    sd = {f"model.model.{k}": v.numpy() for k, v in ref_transformer.state_dict().items()}
+    flat = convert_reference_dts_state_dict(sd, NET_PARAM, strict=True)
+
+    model = DiffusionTSModel(dict(NET_PARAM))
+    import jax
+
+    params = unflatten_params(flat)["model"]
+    # exact tree match guards against silent key drift
+    want = jax.tree.map(lambda x: x.shape, model.params["model"])
+    got = jax.tree.map(lambda x: np.asarray(x).shape, params)
+    assert want == got
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 24, 2)).astype(np.float32)
+    t = np.array([0, 3, 7], np.int64)
+
+    with torch.no_grad():
+        t_trend, t_season = ref_transformer(torch.from_numpy(x), torch.from_numpy(t))
+    j_trend, j_season = model.net.apply(
+        {"params": jax.tree.map(np.asarray, params)}, x, t.astype(np.int32),
+        deterministic=True,
+    )
+    # fp32 accumulation through the Fourier/trend banks: ~1e-4 abs residual
+    np.testing.assert_allclose(np.asarray(j_trend), t_trend.numpy(), rtol=2e-3, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(j_season), t_season.numpy(), rtol=2e-3, atol=3e-4)
+
+
+def test_dts_full_checkpoint_roundtrip(ref_transformer, tmp_path):
+    """A reference-layout checkpoint (incl. schedule buffers + gt_mask) loads
+    through the wrapper's load_state_dict with the converter engaged."""
+    import torch
+
+    from upgdm_tpu.models.diffusionts import DiffusionTSModel
+
+    model = DiffusionTSModel(dict(NET_PARAM))
+    sd = {f"model.model.{k}": v.numpy() for k, v in ref_transformer.state_dict().items()}
+    # schedule buffers the reference registers on Diffusion_TS + the wrapper
+    sd["model.betas"] = np.linspace(1e-4, 2e-2, 8).astype(np.float32)
+    sd["model.alphas_cumprod"] = np.cumprod(1 - sd["model.betas"])
+    sd["gt_mask"] = np.ones((24, 2), np.float32)
+    sd["scaler_mean"] = np.zeros(2, np.float32)
+    sd["scaler_std"] = np.ones(2, np.float32)
+    model.load_state_dict(sd)
+    outs, _ = model.evaluation_step(
+        np.random.default_rng(1).normal(size=(2, 24, 2)).astype(np.float32)
+    )
+    assert np.isfinite(np.asarray(outs)).all()

@@ -98,6 +98,15 @@ class DiffSTGModel(DiffusionWrapperBase):
         snr = self.sched.snr(t_np)
         return _log_norm_pdf(snr, 0.0, 0.5).astype(np.float32)
 
+    def convert_reference_state_dict(self, flat, strict: bool = True):
+        """Auto-import reference torch checkpoints (utils/torch_import.py):
+        the UGnet lives under model.* with torch .res/.conv nesting."""
+        if not any(".res.tcn1.conv." in k or k.endswith("x_proj.weight") for k in flat):
+            return flat
+        from ..utils.torch_import import convert_reference_diffstg_state_dict
+
+        return convert_reference_diffstg_state_dict(flat, self.net_param, strict=strict)
+
     def loss_fn(self, params, batch, adj, key, node_mask=None,
                 select: Optional[str] = None, train: bool = True):
         """training_step (graph_diffusion_model.py:141-191) on dense batches.

@@ -83,6 +83,15 @@ class DiffusionTSModel(DiffusionWrapperBase):
             )["params"]
         }
 
+    def convert_reference_state_dict(self, flat, strict: bool = True):
+        """Auto-import reference torch checkpoints (utils/torch_import.py):
+        the Transformer lives under model.model.* in the wrapper's tree."""
+        if not any(k.startswith("model.model.") for k in flat):
+            return flat
+        from ..utils.torch_import import convert_reference_dts_state_dict
+
+        return convert_reference_dts_state_dict(flat, self.net_param, strict=strict)
+
     # ------------------------------------------------------------------
     def _output(self, params, x, t, train=False, rngs=None):
         trend, season = self.net.apply(

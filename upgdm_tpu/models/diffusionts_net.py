@@ -16,6 +16,7 @@ Notes on TPU idioms:
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +33,8 @@ def gelu2(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-_ACT = {"GELU": nn.gelu, "GELU2": gelu2}
+# torch nn.GELU is the exact erf form; flax defaults to the tanh approximation
+_ACT = {"GELU": lambda x: nn.gelu(x, approximate=False), "GELU2": gelu2}
 
 
 class AdaLayerNorm(nn.Module):
@@ -122,16 +124,39 @@ class TimeMixConv(nn.Module):
 
 
 class FourierLayer(nn.Module):
-    """Top-k frequency extrapolation (diffusionts_transformer.py:52-97)."""
+    """Top-k frequency extrapolation (diffusionts_transformer.py:52-97).
+
+    The rfft is computed as an explicit DFT matmul when ``use_dft_matmul``
+    (default: on TPU backends): the sampler calls this layer with a huge
+    batch of short (T<=2000) sequences, and two [T, T//2+1] real matmuls ride
+    the MXU, whereas XLA:TPU lowers batched small FFTs poorly.  Identical
+    values up to fp accumulation order.
+    """
 
     d_model: int
     low_freq: int = 1
     factor: int = 1
+    use_dft_matmul: Optional[bool] = None
+
+    def _rfft(self, x, T):
+        use_matmul = self.use_dft_matmul
+        if use_matmul is None:
+            use_matmul = jax.default_backend() not in ("cpu",)
+        if not use_matmul:
+            return jnp.fft.rfft(x, axis=1)
+        n_freq = T // 2 + 1
+        # W[t, f] = exp(-2πi t f / T), split into real/imag banks
+        tf = 2.0 * np.pi * np.outer(np.arange(T), np.arange(n_freq)) / T
+        cos_bank = jnp.asarray(np.cos(tf), x.dtype)
+        sin_bank = jnp.asarray(np.sin(tf), x.dtype)
+        re = jnp.einsum("btd,tf->bfd", x, cos_bank)
+        im = -jnp.einsum("btd,tf->bfd", x, sin_bank)
+        return jax.lax.complex(re, im)
 
     @nn.compact
     def __call__(self, x):  # [B, T, D]
         B, T, D = x.shape
-        x_freq = jnp.fft.rfft(x, axis=1)
+        x_freq = self._rfft(x, T)
         if T % 2 == 0:
             x_freq = x_freq[:, self.low_freq : -1]
             f = np.fft.rfftfreq(T)[self.low_freq : -1]

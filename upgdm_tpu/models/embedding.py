@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -108,11 +109,12 @@ class LearnablePositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # U(-0.02, 0.02) like the torch init; the stored param IS the table
+        # (no apply-time shift), so imported checkpoints load verbatim
         pe = self.param(
             "pe",
-            nn.initializers.uniform(scale=0.04),  # ~U(-0.02, 0.02) after shift
+            lambda key, shape: jax.random.uniform(key, shape, minval=-0.02, maxval=0.02),
             (1, self.max_len, self.d_model),
         )
-        # shift uniform(0, 0.04) -> (-0.02, 0.02) to match torch U(-0.02, 0.02)
-        x = x + (pe - 0.02)
+        x = x + pe
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -130,7 +130,8 @@ class ResidualBlock(nn.Module):
         h = TcnBlock(self.c_out, self.kernel_size, name="tcn1")(x, deterministic)
         h = h + nn.Dense(self.c_out, name="t_conv")(temb)[:, None, None, :]
         h = TcnBlock(self.c_out, self.kernel_size, name="tcn2")(h, deterministic)
-        h = nn.LayerNorm(name="norm")(h)  # over channels (ugnet.py:113,123)
+        # over channels (ugnet.py:113,123); eps matches torch LayerNorm
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
 
         # downsample T_in -> Td_h (kernel T_in+1, pad Td_h//2)
         h = TimeConv(
