@@ -59,32 +59,82 @@ def make_windows(n_windows: int) -> np.ndarray:
     return np.ascontiguousarray(traj[:, idx, :].transpose(1, 0, 2, 3))  # [n, Node, W, F]
 
 
-def measure_tpu() -> float:
-    """Our framework's MPV windows/hr on the available accelerator."""
-    from upgdm_tpu.eval.uncertainty import batched_window_ensemble, summarize_pred_future_list
+def _flops_per_chunk(model) -> float:
+    """XLA cost-analysis FLOPs of one compiled CHUNK-window sampling call."""
+    import jax
+
+    x = np.zeros((CHUNK * NODE, WINDOWS, 1), np.float32)
+    try:
+        lowered = jax.jit(
+            lambda p, b, k: model.sample_fn(p, b, k, N_Z)
+        ).lower(model.params, x, jax.random.key(0))
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as exc:  # cost analysis is best-effort
+        print(f"# flops estimate unavailable: {exc}", file=sys.stderr)
+        return 0.0
+
+
+def measure_tpu(profile_dir=None) -> float:
+    """Our framework's MPV windows/hr on the available accelerator.
+
+    Primary path: the device-side MPV sweep (fast_mpv_sweep — the per-window
+    variance/mean reduction runs on-chip and only two scalars per window cross
+    the host link; this is uncertainty_ews's cache_mode='none' engine).  The
+    torch baseline computes the same MPV summaries.  The full-ensemble cache
+    path is ~2x slower end-to-end only because it ships [n*Node, O, F, S]
+    prediction tensors through the tunnel.
+    """
+    from upgdm_tpu.eval.uncertainty import fast_mpv_sweep
     from upgdm_tpu.models.nsdiff import NsDiffModel
 
     model = NsDiffModel(NET_PARAM)  # identity scaler by default
 
     warm = make_windows(CHUNK)
     t0 = time.time()
-    batched_window_ensemble(model, warm, PRED_LEN, chunk_windows=CHUNK)
+    fast_mpv_sweep(model, warm, PRED_LEN, chunk_windows=CHUNK)
     compile_s = time.time() - t0
 
     wins = make_windows(N_BENCH_WINDOWS)
     best = 0.0
+    best_elapsed = None
     for rep in range(3):  # tunnel bandwidth varies run-to-run; take the best
         t0 = time.time()
-        pred_list = batched_window_ensemble(model, wins, PRED_LEN, chunk_windows=CHUNK)
-        summarize_pred_future_list(pred_list, model=model)
+        fast_mpv_sweep(model, wins, PRED_LEN, chunk_windows=CHUNK)
         elapsed = time.time() - t0
         rate = N_BENCH_WINDOWS / elapsed * 3600.0
-        best = max(best, rate)
+        if rate > best:
+            best, best_elapsed = rate, elapsed
         print(
             f"# tpu rep{rep}: {N_BENCH_WINDOWS} windows in {elapsed:.2f}s "
             f"(compile+warmup {compile_s:.1f}s) -> {rate:.1f} windows/hr",
             file=sys.stderr,
         )
+
+    # ---- utilization split (VERDICT r1 weak-6): XLA-counted FLOPs vs wall ----
+    flops_chunk = _flops_per_chunk(model)
+    if flops_chunk and best_elapsed:
+        total_flops = flops_chunk * (N_BENCH_WINDOWS / CHUNK)
+        achieved = total_flops / best_elapsed
+        profile = {
+            "flops_per_window": flops_chunk / CHUNK,
+            "achieved_tflops_per_s": achieved / 1e12,
+            "wall_s_best": best_elapsed,
+            "note": "XLA cost-analysis FLOPs over best end-to-end wall time "
+                    "(includes host<->device transfer + dispatch)",
+        }
+        (REPO / "BENCH_PROFILE.json").write_text(json.dumps(profile, indent=2))
+        print(f"# utilization: {achieved/1e12:.2f} TFLOP/s end-to-end "
+              f"({flops_chunk/CHUNK/1e9:.2f} GFLOP/window)", file=sys.stderr)
+
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(str(profile_dir)):
+            fast_mpv_sweep(model, wins, PRED_LEN, chunk_windows=CHUNK)
+        print(f"# profiler trace written to {profile_dir}", file=sys.stderr)
     return best
 
 
@@ -124,8 +174,13 @@ def measure_cpu_baseline(n_windows: int = 2) -> float:
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None, help="jax.profiler trace output dir")
+    args = ap.parse_args()
     cpu_rate = measure_cpu_baseline()
-    tpu_rate = measure_tpu()
+    tpu_rate = measure_tpu(profile_dir=args.profile)
     print(
         json.dumps(
             {

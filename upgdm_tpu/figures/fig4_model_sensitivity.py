@@ -39,15 +39,17 @@ def transition_time(time, data) -> float:
     return float(time[int(np.argmax(np.abs(change_score)))])
 
 
-def load_sensitivity_data(ews_root, source_root, data_trend, metric) -> dict:
-    data_path = slbp_source_path(source_root, "1000000.0", data_trend, "1e-05")
+def load_sensitivity_data(ews_root, source_root, data_trend, metric,
+                          total_time="1000000.0", d_value="1e-05",
+                          pred_lens=PRED_LENS, window_lens=WINDOW_LENS) -> dict:
+    data_path = slbp_source_path(source_root, total_time, data_trend, d_value)
     time_data, series = load_dynamic_record(data_path)
     out = {
         "ts": np.asarray(time_data, float)[::1000],
         "ys": np.asarray(series, np.float32)[::1000, 0],
         "pred_ews": {}, "pred_ews_ts": {}, "win_ews": {}, "win_ews_ts": {},
     }
-    for pred_len in PRED_LENS:
+    for pred_len in pred_lens:
         result = slbp_sensitivity_ews(
             model_root=Path(ews_root) / "NsDiff_pred",
             model_name=f"dataset__w200p{pred_len}st100",
@@ -57,7 +59,7 @@ def load_sensitivity_data(ews_root, source_root, data_trend, metric) -> dict:
         values = result["mpv"] if metric == "mpv" else result["prediction_error"]
         out["pred_ews"][pred_len] = np.asarray(values, float)
         out["pred_ews_ts"][pred_len] = np.asarray(result["time_points"])
-    for window_len in WINDOW_LENS:
+    for window_len in window_lens:
         result = slbp_sensitivity_ews(
             model_root=Path(ews_root) / "NsDiff_windows",
             model_name=f"dataset__w{window_len}p200st100",
@@ -76,9 +78,19 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Fig 4: SLBP sensitivity")
     add_common_args(parser)
     parser.add_argument("--metric", choices=["mpv", "prediction_error"], default="mpv")
+    # reference defaults (model_sensitivity_experiment.py); overridable so the
+    # pipeline also runs on reduced-scale demo trees
+    parser.add_argument("--total-time", default="1000000.0")
+    parser.add_argument("--d-value", default="1e-05")
+    parser.add_argument("--pred-lens", nargs="+", type=int, default=list(PRED_LENS))
+    parser.add_argument("--window-lens", nargs="+", type=int, default=list(WINDOW_LENS))
     args = parser.parse_args(argv)
     set_nature_style()
-    data = load_sensitivity_data(args.ews_root, args.source_root, args.trend, args.metric)
+    data = load_sensitivity_data(
+        args.ews_root, args.source_root, args.trend, args.metric,
+        total_time=args.total_time, d_value=args.d_value,
+        pred_lens=tuple(args.pred_lens), window_lens=tuple(args.window_lens),
+    )
     tt = transition_time(data["ts"], data["ys"])
 
     fig, axes = plt.subplots(3, 1, figsize=(6.4, 6.2), sharex=True,

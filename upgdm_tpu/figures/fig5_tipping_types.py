@@ -57,20 +57,32 @@ def load_panel_data(ews_root, source_root, trend, total_time, cache_folder, d_va
 
 
 def main(argv=None):
+    global MODEL_NAME
     import matplotlib.pyplot as plt
 
     parser = argparse.ArgumentParser(description="Fig 5: tipping types grid")
     add_common_args(parser)
+    # reference defaults (tipping_types_experiment.py); overridable for
+    # reduced-scale demo trees.  --time-rows entries: total_time:folder:step
+    parser.add_argument("--d-values", nargs="+", default=list(D_VALUES))
+    parser.add_argument("--time-rows", nargs="+",
+                        default=[f"{t}:{f}:{s}" for t, f, s in TIME_ROWS])
+    parser.add_argument("--model-name", default=MODEL_NAME)
     args = parser.parse_args(argv)
+    MODEL_NAME = args.model_name
+    d_values = tuple(args.d_values)
+    time_rows = [
+        (t, f, int(s)) for t, f, s in (row.split(":") for row in args.time_rows)
+    ]
     set_nature_style()
-    n_cols = len(D_VALUES) * len(TRENDS)
-    fig, axes = plt.subplots(2 * len(TIME_ROWS), n_cols,
-                             figsize=(2.9 * n_cols, 1.8 * 2 * len(TIME_ROWS)),
+    n_cols = len(d_values) * len(TRENDS)
+    fig, axes = plt.subplots(2 * len(time_rows), n_cols,
+                             figsize=(2.9 * n_cols, 1.8 * 2 * len(time_rows)),
                              gridspec_kw={"hspace": 0.35})
     axes = np.atleast_2d(axes)
-    for row_index, (total_time, cache_folder, step) in enumerate(TIME_ROWS):
+    for row_index, (total_time, cache_folder, step) in enumerate(time_rows):
         col = 0
-        for d_value in D_VALUES:
+        for d_value in d_values:
             for trend in TRENDS:
                 panel = load_panel_data(args.ews_root, args.source_root, trend,
                                         total_time, cache_folder, d_value, step)

@@ -35,8 +35,9 @@ D_VALUE = "1e-05"
 __all__ = ["load_panel_data", "main"]
 
 
-def load_panel_data(ews_root, source_root, data_trend) -> dict:
-    data_path = slbp_source_path(source_root, TOTAL_TIME, data_trend, D_VALUE)
+def load_panel_data(ews_root, source_root, data_trend,
+                    total_time=TOTAL_TIME, d_value=D_VALUE) -> dict:
+    data_path = slbp_source_path(source_root, total_time, data_trend, d_value)
     time_data, series = load_dynamic_record(data_path)
     diffusion_root = Path(ews_root) / "NsDiff_machine" / "NsDiff"
     preg_root = Path(ews_root) / "NsDiff_machine" / "preg"
@@ -72,13 +73,17 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(description="Fig 6: SLBP model analysis")
     add_common_args(parser)
+    # reference defaults (SLBP_model_analysis_experiment.py); overridable
+    parser.add_argument("--total-time", default=TOTAL_TIME)
+    parser.add_argument("--d-value", default=D_VALUE)
     args = parser.parse_args(argv)
     set_nature_style()
     fig, axes = plt.subplots(5, len(TRENDS), figsize=(5.6 * len(TRENDS), 9.5),
                              sharex="col", gridspec_kw={"hspace": 0.2})
     axes = np.atleast_2d(axes)
     for col, trend in enumerate(TRENDS):
-        panel = load_panel_data(args.ews_root, args.source_root, trend)
+        panel = load_panel_data(args.ews_root, args.source_root, trend,
+                                total_time=args.total_time, d_value=args.d_value)
         axes[0, col].plot(panel["ts"], panel["ys"], color="#0F4D92", linewidth=0.9)
         axes[0, col].set_title(trend)
         if panel["sampling"].get("available"):

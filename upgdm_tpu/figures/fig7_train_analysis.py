@@ -44,30 +44,32 @@ ABLATION_PANELS = (
 __all__ = ["load_gx_panel", "load_ablation_panel", "main"]
 
 
-def gx_cache(model_dir: Path, trend: str) -> Path:
-    return model_dir / "SLPB_1000000.0" / f"gx_D_{TEST_D_VALUE}_{trend}.pt"
+def gx_cache(model_dir: Path, trend: str, total_time=TOTAL_TIME, d_value=TEST_D_VALUE) -> Path:
+    return model_dir / f"SLPB_{total_time}" / f"gx_D_{d_value}_{trend}.pt"
 
 
-def sampling_cache(model_dir: Path, trend: str) -> Path:
-    return model_dir / "SLPB_1000000.0" / f"D_{TEST_D_VALUE}_{trend}.pt"
+def sampling_cache(model_dir: Path, trend: str, total_time=TOTAL_TIME, d_value=TEST_D_VALUE) -> Path:
+    return model_dir / f"SLPB_{total_time}" / f"D_{d_value}_{trend}.pt"
 
 
-def load_gx_panel(ews_root, series, time_data, trend, folder, title) -> dict:
+def load_gx_panel(ews_root, series, time_data, trend, folder, title,
+                  total_time=TOTAL_TIME, d_value=TEST_D_VALUE) -> dict:
     model_dir = Path(ews_root) / "NsDiff_dataset_contant" / folder
     result = slbp_direct_model_cache_analysis(
         model_save_file=model_dir, torch_time_series=series, time_data=time_data,
-        cache_path=gx_cache(model_dir, trend), pred_dim=PRED_DIM,
+        cache_path=gx_cache(model_dir, trend, total_time, d_value), pred_dim=PRED_DIM,
         sample_window_step=SAMPLE_WINDOW_STEP, cache_kind="gx",
     )
     return {"title": title, "mpv_time": np.asarray(result["time_points"]),
             "mpv": np.asarray(result["mpv"])}
 
 
-def load_ablation_panel(ews_root, series, time_data, trend, folder, title) -> dict:
+def load_ablation_panel(ews_root, series, time_data, trend, folder, title,
+                        total_time=TOTAL_TIME, d_value=TEST_D_VALUE) -> dict:
     model_dir = Path(ews_root) / "NsDiff_machine" / folder
     result = slbp_direct_model_cache_analysis(
         model_save_file=model_dir, torch_time_series=series, time_data=time_data,
-        cache_path=sampling_cache(model_dir, trend), pred_dim=PRED_DIM,
+        cache_path=sampling_cache(model_dir, trend, total_time, d_value), pred_dim=PRED_DIM,
         sample_window_step=SAMPLE_WINDOW_STEP, cache_kind="sampling",
         compute_prediction_error=True,
     )
@@ -81,20 +83,24 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(description="Fig 7: training/ablation analysis")
     add_common_args(parser)
+    # reference defaults (model_train_analysis.py); overridable
+    parser.add_argument("--total-time", default=TOTAL_TIME)
+    parser.add_argument("--d-value", default=TEST_D_VALUE)
     args = parser.parse_args(argv)
+    tt_d = (args.total_time, args.d_value)
     set_nature_style(font_size=8)
     time_data, series = load_dynamic_record(
-        slbp_source_path(args.source_root, TOTAL_TIME, args.trend, TEST_D_VALUE)
+        slbp_source_path(args.source_root, args.total_time, args.trend, args.d_value)
     )
     state_time = np.asarray(time_data, float)[::1000]
     state = np.asarray(series, np.float32)[::1000, PRED_DIM]
 
     groups = [
-        ("train-D", [load_gx_panel(args.ews_root, series, time_data, args.trend, f, t)
+        ("train-D", [load_gx_panel(args.ews_root, series, time_data, args.trend, f, t, *tt_d)
                      for f, t in TRAIN_D_PANELS]),
-        ("train-N", [load_gx_panel(args.ews_root, series, time_data, args.trend, f, t)
+        ("train-N", [load_gx_panel(args.ews_root, series, time_data, args.trend, f, t, *tt_d)
                      for f, t in TRAIN_N_PANELS]),
-        ("ablation", [load_ablation_panel(args.ews_root, series, time_data, args.trend, f, t)
+        ("ablation", [load_ablation_panel(args.ews_root, series, time_data, args.trend, f, t, *tt_d)
                       for f, t in ABLATION_PANELS]),
     ]
     n_cols = max(len(panels) for _g, panels in groups)

@@ -36,13 +36,13 @@ TRENDS = ("decrease", "increase")
 __all__ = ["load_mpv", "main"]
 
 
-def gx_cache_path(model_dir: Path, trend: str) -> Path:
-    return model_dir / "SLPB_1000000.0" / f"gx_D_{D_VALUE}_{trend}.pt"
+def gx_cache_path(model_dir: Path, trend: str, total_time=TOTAL_TIME, d_value=D_VALUE) -> Path:
+    return model_dir / f"SLPB_{total_time}" / f"gx_D_{d_value}_{trend}.pt"
 
 
-def load_slbp_record(source_root, trend) -> dict:
+def load_slbp_record(source_root, trend, total_time=TOTAL_TIME, d_value=D_VALUE) -> dict:
     time_data, series = load_dynamic_record(
-        slbp_source_path(source_root, TOTAL_TIME, trend, D_VALUE)
+        slbp_source_path(source_root, total_time, trend, d_value)
     )
     return {
         "time_data": time_data,
@@ -52,10 +52,11 @@ def load_slbp_record(source_root, trend) -> dict:
     }
 
 
-def load_mpv(model_dir, record, trend) -> dict:
+def load_mpv(model_dir, record, trend, total_time=TOTAL_TIME, d_value=D_VALUE) -> dict:
     result = slbp_direct_model_cache_analysis(
         model_save_file=model_dir, torch_time_series=record["series"],
-        time_data=record["time_data"], cache_path=gx_cache_path(Path(model_dir), trend),
+        time_data=record["time_data"],
+        cache_path=gx_cache_path(Path(model_dir), trend, total_time, d_value),
         pred_dim=PRED_DIM, sample_window_step=SAMPLE_WINDOW_STEP, cache_kind="gx",
     )
     return {"time": np.asarray(result["time_points"], float),
@@ -68,9 +69,15 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(description="Fig 8: training-source comparison")
     add_common_args(parser)
+    # reference defaults (train_source_comparison_experiment.py); overridable
+    parser.add_argument("--total-time", default=TOTAL_TIME)
+    parser.add_argument("--d-value", default=D_VALUE)
+    parser.add_argument("--train-end", type=float, default=TRAIN_END,
+                        help="right edge of the training-span shading")
     args = parser.parse_args(argv)
     set_nature_style(font_size=8)
-    records = {trend: load_slbp_record(args.source_root, trend) for trend in TRENDS}
+    records = {trend: load_slbp_record(args.source_root, trend, args.total_time, args.d_value)
+               for trend in TRENDS}
     n_rows = 1 + len(MODEL_PANELS)
     fig, axes = plt.subplots(n_rows, len(TRENDS), figsize=(5.4 * len(TRENDS), 2.0 * n_rows),
                              sharex="col", gridspec_kw={"hspace": 0.25})
@@ -81,12 +88,12 @@ def main(argv=None):
         axes[0, col].set_title(f"test trend: {trend}")
         for row, (folder, label, shaded_trends) in enumerate(MODEL_PANELS, start=1):
             model_dir = Path(args.ews_root) / "NsDiff_dataset" / folder
-            sig = load_mpv(model_dir, rec, trend)
+            sig = load_mpv(model_dir, rec, trend, args.total_time, args.d_value)
             ax = axes[row, col]
             ax.plot(sig["time"][: len(sig["mpv"])], sig["mpv"], ".",
                     color="#B64342", markersize=2)
             if trend in shaded_trends:
-                ax.axvspan(TRAIN_START, TRAIN_END, color="#D8D8D8", alpha=0.35, linewidth=0)
+                ax.axvspan(TRAIN_START, args.train_end, color="#D8D8D8", alpha=0.35, linewidth=0)
             if col == 0:
                 ax.set_ylabel(label, fontsize=8)
         axes[-1, col].set_xlabel("Time")

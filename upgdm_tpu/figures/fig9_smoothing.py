@@ -50,15 +50,16 @@ def causal_moving_average(series: np.ndarray, window: int = 21, time_axis: int =
     return np.moveaxis(out, 0, time_axis).astype(np.float32)
 
 
-def cache_path(ews_root, noise, trend, smooth) -> Path:
-    subdir = "smooth_SLPB_T_1000000.0" if smooth else "SLPB_1000000.0"
+def cache_path(ews_root, noise, trend, smooth, total_time=TOTAL_TIME) -> Path:
+    subdir = f"smooth_SLPB_T_{total_time}" if smooth else f"SLPB_{total_time}"
     return (Path(ews_root) / "NsDiff_machine/NsDiff/datas" / subdir
             / f"gx_D_{noise}_{trend}.pt")
 
 
-def load_signal(ews_root, source_root, noise, trend, smooth: bool) -> dict:
+def load_signal(ews_root, source_root, noise, trend, smooth: bool,
+                total_time=TOTAL_TIME) -> dict:
     time_data, series = load_dynamic_record(
-        slbp_source_path(source_root, TOTAL_TIME, trend, noise)
+        slbp_source_path(source_root, total_time, trend, noise)
     )
     model_root = Path(ews_root) / "NsDiff_machine" / "NsDiff"
     model, method_config, _np_ = load_sensitivity_model(model_root, MODEL_NAME)
@@ -71,7 +72,8 @@ def load_signal(ews_root, source_root, noise, trend, smooth: bool) -> dict:
         series, time_data, windows, pred_len, sampling_t, SAMPLE_WINDOW_STEP
     )
     gx_list = run_slbp_gx_cache_for_fig6(
-        model, input_windows, cache_path(ews_root, noise, trend, smooth), pred_dim=PRED_DIM
+        model, input_windows, cache_path(ews_root, noise, trend, smooth, total_time),
+        pred_dim=PRED_DIM,
     )
     gx_mpv = summarize_slbp_gx_for_fig6(gx_list, pred_dim=PRED_DIM)
     return {
@@ -87,14 +89,20 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(description="Fig 9: smoothing control")
     add_common_args(parser)
+    # reference defaults (smoothing_experiment.py); overridable
+    parser.add_argument("--total-time", default=TOTAL_TIME)
+    parser.add_argument("--noises", nargs="+", default=list(NOISES))
     args = parser.parse_args(argv)
     set_nature_style(font_size=8)
-    fig, axes = plt.subplots(3, len(NOISES), figsize=(5.4 * len(NOISES), 6.0),
+    noises = tuple(args.noises)
+    fig, axes = plt.subplots(3, len(noises), figsize=(5.4 * len(noises), 6.0),
                              sharex="col", gridspec_kw={"hspace": 0.2})
     axes = np.atleast_2d(axes)
-    for col, noise in enumerate(NOISES):
-        raw = load_signal(args.ews_root, args.source_root, noise, args.trend, smooth=False)
-        smooth = load_signal(args.ews_root, args.source_root, noise, args.trend, smooth=True)
+    for col, noise in enumerate(noises):
+        raw = load_signal(args.ews_root, args.source_root, noise, args.trend,
+                          smooth=False, total_time=args.total_time)
+        smooth = load_signal(args.ews_root, args.source_root, noise, args.trend,
+                             smooth=True, total_time=args.total_time)
         axes[0, col].plot(raw["plot_time"], raw["plot_state"], color="#0F4D92",
                           linewidth=0.8, label="raw")
         axes[0, col].plot(smooth["plot_time"], smooth["plot_state"], color="#E28E2C",

@@ -172,13 +172,33 @@ class FourierLayer(nn.Module):
         _, idx = jax.lax.top_k(magT, top_k)  # [B, D, k]
         xfT = x_freq.transpose(0, 2, 1)  # [B, D, F]
         sel = jnp.take_along_axis(xfT, idx, axis=2)  # [B, D, k]
-        f_sel = jnp.asarray(f, jnp.float32)[idx]  # [B, D, k]
 
-        # append conjugates at negative frequencies
+        use_matmul = self.use_dft_matmul
+        if use_matmul is None:
+            use_matmul = jax.default_backend() not in ("cpu",)
+        t = jnp.arange(T, dtype=jnp.float32)
+        if use_matmul:
+            # Scatter the k kept coefficients back into the full spectrum and
+            # extrapolate with two [F, T] matmuls.  Identical math: the +/-f
+            # conjugate pair of the reference sums to 2*(Re cos - Im sin).
+            # Avoids the [B, D, 2k, T] wave bank whose tiny 2k axis pads 16x
+            # on TPU lanes (OOM at large sample batches).
+            B_, D_ = idx.shape[0], idx.shape[1]
+            bidx = jnp.arange(B_)[:, None, None]
+            didx = jnp.arange(D_)[None, :, None]
+            re = jnp.zeros((B_, D_, length), x.dtype).at[bidx, didx, idx].add(jnp.real(sel))
+            im = jnp.zeros((B_, D_, length), x.dtype).at[bidx, didx, idx].add(jnp.imag(sel))
+            ang = 2 * np.pi * jnp.asarray(f, jnp.float32)[:, None] * t[None, :]  # [F, T]
+            wave = 2.0 * (
+                jnp.einsum("bdl,lt->btd", re, jnp.cos(ang))
+                - jnp.einsum("bdl,lt->btd", im, jnp.sin(ang))
+            )
+            return wave
+        f_sel = jnp.asarray(f, jnp.float32)[idx]  # [B, D, k]
+        # append conjugates at negative frequencies (reference formulation)
         amp = jnp.abs(jnp.concatenate([sel, jnp.conj(sel)], axis=2))  # [B, D, 2k]
         phase = jnp.angle(jnp.concatenate([sel, jnp.conj(sel)], axis=2))
         freqs = jnp.concatenate([f_sel, -f_sel], axis=2)
-        t = jnp.arange(T, dtype=jnp.float32)
         # [B, D, 2k, T] cosine bank summed over frequencies
         wave = amp[..., None] * jnp.cos(
             2 * np.pi * freqs[..., None] * t[None, None, None, :] + phase[..., None]
