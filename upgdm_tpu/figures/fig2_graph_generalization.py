@@ -97,14 +97,19 @@ def main(argv=None):
     set_nature_style()
     n_rows = 2 * len(DATASETS)
     n_cols = len(args.graph_types)
+    # x is shared per dynamics row-pair (state/MPV), not per column: the
+    # per-dynamics trajectories may span very different time ranges
     fig, axes = plt.subplots(n_rows, n_cols, figsize=(3.0 * n_cols, 1.7 * n_rows),
-                             sharex="col", gridspec_kw={"hspace": 0.15})
+                             gridspec_kw={"hspace": 0.15})
     axes = np.atleast_2d(axes)
     for row, dataset_type in enumerate(DATASETS):
         for col, graph_type in enumerate(args.graph_types):
             panel = load_panel_data(args.ews_root, args.source_root, dataset_type,
                                     args.trend, graph_type)
             plot_panel(axes[2 * row, col], axes[2 * row + 1, col], panel)
+            lo, hi = float(panel["ts"][0]), float(panel["ts"][min(len(panel["ys_mean"]), len(panel["ts"])) - 1])
+            axes[2 * row, col].set_xlim(lo, hi)
+            axes[2 * row + 1, col].set_xlim(lo, hi)
             if row == 0:
                 axes[0, col].set_title(graph_type)
             if col == 0:
