@@ -49,10 +49,12 @@ def gen_data(out: Path) -> Path:
     if not data_path.exists():
         adj = graphml_to_adjacency(gpath).adj
         # dt=0.01: at 100 nodes the BA hub degrees make eps*lambda_max(A)
-        # marginal for Euler at dt=0.1; store every 10th step (0.1 grid)
+        # marginal for Euler at dt=0.1; store every 10th step (0.1 grid).
+        # control tops out near the epidemic threshold d/lambda_max so the
+        # transition lands in the scanned 2nd half of the trajectory
         rec = simulate_network_system(
             "SIS", adj, trend="increase", total_time=150.0, burn_time=20.0,
-            dt=0.01, save_every=10, seed=7, control_range=(1e-4, 0.5),
+            dt=0.01, save_every=10, seed=7, control_range=(1e-4, 0.075),
             base_params={"d": 0.5}, eta=1e-4,
         )
         save_pt(rec, data_path)
