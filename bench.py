@@ -46,6 +46,11 @@ NET_PARAM = dict(
     diffusion_schedule="linear", beta_start=1e-4, beta_end=2e-2,
     output_attention=False, dropout=0.05, factor=3, activation="gelu",
     load_pretrain=False, freeze_pretrain=False,
+    # round-2 kernel tuning (benchmarks/{ab_bf16,sweep_tile,diag_chain}.py):
+    # bf16 MXU matmuls in the fused denoiser trunk (fp32 accumulate) + 1024-row
+    # tiles.  MPV parity vs fp32 measured at 0.085% (tests/test_pallas_denoiser
+    # ::test_bf16_chain_mpv_parity guards the <=1% budget).
+    sampling_matmul_dtype="bfloat16", denoiser_tile_m=1024,
 )
 
 

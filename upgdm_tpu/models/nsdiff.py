@@ -250,8 +250,18 @@ class NsDiffModel(DiffusionWrapperBase):
         if self.use_pallas_denoiser:
             from ..ops.pallas.fused_denoiser import fused_nsdiff_denoiser
 
+            # "sampling_matmul_dtype": "bfloat16" runs the denoiser trunk
+            # matmuls at native MXU rate (fp32 accumulate); activations and
+            # all posterior coefficient math stay fp32.  MPV parity vs fp32
+            # is asserted in tests/test_pallas_denoiser.py.
+            mm_dtype = self.net_param.get("sampling_matmul_dtype", "float32")
+            tile_m = self.net_param.get("denoiser_tile_m", 512)
+
             def model_fn(y, t):
-                return fused_nsdiff_denoiser(params["model"], y, y0_hat, gx, t)
+                return fused_nsdiff_denoiser(
+                    params["model"], y, y0_hat, gx, t, matmul_dtype=mm_dtype,
+                    tile_m=tile_m,
+                )
 
         else:
 

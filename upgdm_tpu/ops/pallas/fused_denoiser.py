@@ -37,55 +37,81 @@ _EPS_NORM = 1e-12
 def _kernel(x_ref, g1_ref, g2_ref, g3_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
             w4_ref, b4_ref, ws_ref, bs_ref,
-            eps_ref, sigma_ref):
+            eps_ref, sigma_ref, *, matmul_dtype=jnp.float32):
     # vectors (biases, timestep gates) arrive as (1, n) rows — broadcast-ready
     x = x_ref[:]
 
+    def dot(a, w_ref):
+        # matmul_dtype=bfloat16 runs the MXU at native single-pass rate
+        # (fp32 matmuls cost multiple bf16 passes); accumulation stays fp32.
+        # The weight refs already hold bf16 (cast OUTSIDE the kernel — an
+        # in-kernel f32->bf16->dot pattern gets folded away by Mosaic and
+        # silently runs fp32); only the activation is cast here.
+        w = w_ref[:]
+        return jnp.dot(a.astype(matmul_dtype), w,
+                       preferred_element_type=jnp.float32)
+
     def layer(h, w_ref, b_ref, g_ref):
-        out = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+        out = dot(h, w_ref)
         out = g_ref[:] * (out + b_ref[:])
         out = jax.nn.softplus(out)
-        norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True))
-        return out / jnp.maximum(norm, _EPS_NORM)
+        # l2-normalize via rsqrt+mul: one multi-cycle VPU divide per element
+        # becomes a mul (the norm clamp keeps torch F.normalize semantics:
+        # x / max(||x||, eps) == x * rsqrt(max(||x||^2, eps^2)) for eps<<1)
+        s2 = jnp.sum(out * out, axis=-1, keepdims=True)
+        return out * jax.lax.rsqrt(jnp.maximum(s2, _EPS_NORM * _EPS_NORM))
 
     h = layer(x, w1_ref, b1_ref, g1_ref)
     h = layer(h, w2_ref, b2_ref, g2_ref)
     h = layer(h, w3_ref, b3_ref, g3_ref)
-    eps_ref[:] = jnp.dot(h, w4_ref[:], preferred_element_type=jnp.float32) + b4_ref[:]
+    eps_ref[:] = dot(h, w4_ref) + b4_ref[:]
     hs = jax.nn.softplus(h)
-    sigma_ref[:] = jax.nn.softplus(
-        jnp.dot(hs, ws_ref[:], preferred_element_type=jnp.float32) + bs_ref[:]
-    )
+    sigma_ref[:] = jax.nn.softplus(dot(hs, ws_ref) + bs_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_denoiser_rows(x, gammas, weights, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "matmul_dtype", "tile_m"))
+def fused_denoiser_rows(x, gammas, weights, interpret: bool = False,
+                        matmul_dtype: str = "float32", tile_m: int = TILE_M):
     """x: [M, 3F] concat(y_t, y0_hat, gx) rows -> (eps [M, F], sigma [M, F]).
 
     gammas: (g1, g2, g3) per-timestep embedding rows, each [HIDDEN]
     (already gathered for the current scalar t).
     weights: (W1, b1, W2, b2, W3, b3, W4, b4, Ws, bs).
+    matmul_dtype: "float32" (default, bit-matched to the flax denoiser) or
+    "bfloat16" (single-pass MXU matmuls, fp32 accumulate/activations).
+    tile_m: rows per grid step; larger tiles amortize per-invocation overhead
+    against VMEM (h tile is [tile_m, 128] fp32).
     """
     from jax.experimental.pallas import tpu as pltpu
 
+    _dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+    mm_dt = _dt[str(matmul_dtype)]
+    kernel = functools.partial(_kernel, matmul_dtype=mm_dt)
     M, in_dim = x.shape
     F = weights[6].shape[1]
-    m_pad = (-M) % TILE_M
+    m_pad = (-M) % tile_m
     if m_pad:
         x = jnp.pad(x, ((0, m_pad), (0, 0)))
     Mp = x.shape[0]
     # promote all vectors to (1, n) rows for TPU-friendly 2-D layouts
     g1, g2, g3 = (jnp.atleast_2d(g) for g in gammas)
     weights = tuple(jnp.atleast_2d(w) if w.ndim == 1 else w for w in weights)
+    if mm_dt != jnp.float32:
+        # weight MATRICES (even indices) arrive in the kernel as bf16 so the
+        # MXU dot is natively mixed-precision; biases stay fp32.
+        weights = tuple(
+            w.astype(mm_dt) if i % 2 == 0 else w for i, w in enumerate(weights)
+        )
+        x = x.astype(mm_dt)
 
     vmem = dict(memory_space=pltpu.VMEM) if not interpret else {}
-    row_spec = pl.BlockSpec((TILE_M, in_dim), lambda i: (i, 0), **vmem)
-    out_spec = pl.BlockSpec((TILE_M, F), lambda i: (i, 0), **vmem)
+    row_spec = pl.BlockSpec((tile_m, in_dim), lambda i: (i, 0), **vmem)
+    out_spec = pl.BlockSpec((tile_m, F), lambda i: (i, 0), **vmem)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), **vmem)
 
     eps, sigma = pl.pallas_call(
-        _kernel,
-        grid=(Mp // TILE_M,),
+        kernel,
+        grid=(Mp // tile_m,),
         in_specs=[
             row_spec,
             full(g1.shape), full(g2.shape), full(g3.shape),
@@ -128,7 +154,8 @@ def denoiser_gammas_from_params(params_model, t):
     )
 
 
-def fused_nsdiff_denoiser(params_model, y_t, y_0_hat, g_x, t, interpret: bool = False):
+def fused_nsdiff_denoiser(params_model, y_t, y_0_hat, g_x, t, interpret: bool = False,
+                          matmul_dtype: str = "float32", tile_m: int = TILE_M):
     """Drop-in equivalent of NsDiffDenoiser.apply for scalar timestep t.
 
     y_t / y_0_hat / g_x: [..., O, F]; t: scalar int. Returns (eps, sigma)
@@ -140,5 +167,8 @@ def fused_nsdiff_denoiser(params_model, y_t, y_0_hat, g_x, t, interpret: bool = 
     rows = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
     gammas = denoiser_gammas_from_params(params_model, t)
     weights = denoiser_weights_from_params(params_model)
-    eps, sigma = fused_denoiser_rows(rows, gammas, weights, interpret=interpret)
+    eps, sigma = fused_denoiser_rows(
+        rows, gammas, weights, interpret=interpret, matmul_dtype=matmul_dtype,
+        tile_m=tile_m,
+    )
     return eps.reshape(lead_shape + (F,)), sigma.reshape(lead_shape + (F,))
