@@ -37,6 +37,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", type=Path, default=Path("benchmarks/report.json"))
     ap.add_argument("--windows", type=int, default=8, help="windows per device call")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="re-measure only these model rows; others are kept "
+                         "from the existing --out report")
     args = ap.parse_args(argv)
     rng = np.random.default_rng(0)
     W = P = 100
@@ -62,7 +65,8 @@ def main(argv=None):
         n_traj = outs.shape[0] * outs.shape[-1]
         return {"windows": args.windows, "trajectories": int(n_traj)}
 
-    results.append(bench_model("NsDiff", build_nsdiff, run_nsdiff))
+    if args.only is None or "NsDiff" in args.only:
+        results.append(bench_model("NsDiff", build_nsdiff, run_nsdiff))
 
     # ---- TMDM --------------------------------------------------------------
     def build_tmdm():
@@ -75,7 +79,8 @@ def main(argv=None):
             task_model="TMDM",
         ))
 
-    results.append(bench_model("TMDM", build_tmdm, run_nsdiff))
+    if args.only is None or "TMDM" in args.only:
+        results.append(bench_model("TMDM", build_tmdm, run_nsdiff))
 
     # ---- DiffusionTS --------------------------------------------------------
     def build_dts():
@@ -94,7 +99,8 @@ def main(argv=None):
         np.asarray(outs)
         return {"windows": args.windows, "trajectories": int(outs.shape[0] * outs.shape[-1])}
 
-    results.append(bench_model("DiffusionTS", build_dts, run_dts))
+    if args.only is None or "DiffusionTS" in args.only:
+        results.append(bench_model("DiffusionTS", build_dts, run_dts))
 
     # ---- DiffSTG -------------------------------------------------------------
     def build_diffstg():
@@ -126,13 +132,18 @@ def main(argv=None):
         np.asarray(outs)
         return {"windows": n_gwin, "trajectories": n_traj}
 
-    results.append(bench_model("DiffSTG", build_diffstg, run_diffstg))
+    if args.only is None or "DiffSTG" in args.only:
+        results.append(bench_model("DiffSTG", build_diffstg, run_diffstg))
 
     for r in results:
         per_s = r["trajectories"] / r["steady_s"]
         r["trajectories_per_sec"] = round(per_s, 1)
         r["windows_per_hr"] = round(r["windows"] / r["steady_s"] * 3600, 1)
         print(json.dumps(r))
+    if args.only is not None and args.out.exists():
+        prev = {r["model"]: r for r in json.loads(args.out.read_text())}
+        prev.update({r["model"]: r for r in results})
+        results = list(prev.values())
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(results, indent=2))
     print(f"report: {args.out}")

@@ -55,13 +55,21 @@ def test_fused_denoiser_bf16_matmul_close():
         {"params": jax.random.key(2)}, y_t, y0, gx, jnp.zeros((B,), jnp.int32)
     )["params"]
     eps32, sig32 = fused_nsdiff_denoiser(params, y_t, y0, gx, 3, interpret=True)
-    eps16, sig16 = fused_nsdiff_denoiser(
-        params, y_t, y0, gx, 3, interpret=True, matmul_dtype="bfloat16"
-    )
-    assert np.max(np.abs(np.asarray(eps16 - eps32))) < 1e-2
-    rel = np.abs(np.asarray(sig16 - sig32)) / np.asarray(sig32)
-    assert float(rel.max()) < 1e-2
-    assert (np.asarray(sig16) > 0).all()
+    for kw in (dict(matmul_dtype="bfloat16"),
+               dict(matmul_dtype="bfloat16", act_dtype="bfloat16")):
+        eps16, sig16 = fused_nsdiff_denoiser(
+            params, y_t, y0, gx, 3, interpret=True, **kw
+        )
+        assert np.max(np.abs(np.asarray(eps16 - eps32))) < 1e-2
+        rel = np.abs(np.asarray(sig16 - sig32)) / np.asarray(sig32)
+        assert float(rel.max()) < 1e-2
+        assert (np.asarray(sig16) > 0).all()
+    # bf16 activations require bf16 matmuls (the cast would be folded away)
+    with pytest.raises(ValueError):
+        fused_nsdiff_denoiser(
+            params, y_t, y0, gx, 3, interpret=True,
+            matmul_dtype="float32", act_dtype="bfloat16",
+        )
 
 
 @pytest.mark.slow
@@ -88,11 +96,11 @@ def test_bf16_chain_mpv_parity():
     gx = jax.jit(lambda p, b: m._apply_g(p, b))(m.params, x) + 1e-7
     keys = jax.random.split(jax.random.key(0), 6)
 
-    def ensemble(mm):
+    def ensemble(mm, act="float32"):
         def model_fn(y, t):
             return fused_nsdiff_denoiser(
                 m.params["model"], y, y0_hat, gx, t, interpret=True,
-                matmul_dtype=mm)
+                matmul_dtype=mm, act_dtype=act)
 
         def one(k):
             return D.nsdiff_p_sample_loop(model_fn, y0_hat, gx, m.sched, k)
@@ -100,7 +108,34 @@ def test_bf16_chain_mpv_parity():
         return np.asarray(jax.jit(jax.vmap(one))(keys))
 
     e32 = ensemble("float32")
-    e16 = ensemble("bfloat16")
     mpv32 = e32.var(axis=0).mean()
-    mpv16 = e16.var(axis=0).mean()
-    assert abs(mpv32 - mpv16) / mpv32 < 0.01
+    for e16 in (ensemble("bfloat16"), ensemble("bfloat16", "bfloat16")):
+        mpv16 = e16.var(axis=0).mean()
+        assert abs(mpv32 - mpv16) / mpv32 < 0.01
+
+
+def test_fused_tmdm_matches_flax():
+    from upgdm_tpu.models.denoise import TMDMDenoiser
+    from upgdm_tpu.ops.pallas.fused_denoiser import fused_tmdm_denoiser
+
+    F, steps = 1, 9
+    mod = TMDMDenoiser(enc_in=F, n_steps=steps)
+    rng = np.random.default_rng(4)
+    B, L = 4, 13
+    y_t = jnp.asarray(rng.normal(size=(B, L, F)).astype(np.float32))
+    y0 = jnp.asarray(rng.normal(size=(B, L, F)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(B, L, 8)).astype(np.float32))
+    t_b = jnp.full((B,), 5, jnp.int32)
+    params = jax.jit(mod.init)(
+        {"params": jax.random.key(4)}, emb, y_t, y0, t_b
+    )["params"]
+    eps_ref = jax.jit(mod.apply)({"params": params}, emb, y_t, y0, t_b)
+    eps_k = fused_tmdm_denoiser(
+        params, y_t, y0, 5, interpret=True, matmul_dtype="float32"
+    )
+    np.testing.assert_allclose(np.asarray(eps_k), np.asarray(eps_ref), atol=2e-5)
+    # bf16 trunk stays within the ~1% budget per call
+    eps_b = fused_tmdm_denoiser(
+        params, y_t, y0, 5, interpret=True, matmul_dtype="bfloat16"
+    )
+    assert np.max(np.abs(np.asarray(eps_b - eps_ref))) < 1e-2

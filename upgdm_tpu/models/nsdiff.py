@@ -250,17 +250,26 @@ class NsDiffModel(DiffusionWrapperBase):
         if self.use_pallas_denoiser:
             from ..ops.pallas.fused_denoiser import fused_nsdiff_denoiser
 
-            # "sampling_matmul_dtype": "bfloat16" runs the denoiser trunk
-            # matmuls at native MXU rate (fp32 accumulate); activations and
-            # all posterior coefficient math stay fp32.  MPV parity vs fp32
-            # is asserted in tests/test_pallas_denoiser.py.
-            mm_dtype = self.net_param.get("sampling_matmul_dtype", "float32")
-            tile_m = self.net_param.get("denoiser_tile_m", 512)
+            # TPU default: bfloat16 trunk matmuls (native MXU rate, fp32
+            # accumulate; activations and all posterior coefficient math stay
+            # fp32) + 1024-row tiles — measured 1.37x on the bench chain with
+            # 0.085% MPV shift (BASELINE.md round-2 kernel tuning).  Set
+            # net_param["sampling_matmul_dtype"]="float32" for bit-parity
+            # with the flax denoiser; guarded in tests/test_pallas_denoiser.py.
+            mm_dtype = self.net_param.get("sampling_matmul_dtype", "bfloat16")
+            # sampling_act_dtype="bfloat16" (run the gate/softplus/l2-norm
+            # band on packed-bf16 VPU lanes) is implemented + parity-tested
+            # but NOT default: the current Mosaic toolchain fails to lower
+            # packed-bf16 compares ("arith.cmpf ... vector<8x128x2xbf16>",
+            # from softplus's internal branch), so the kernel only compiles
+            # with fp32 activations on real TPU today.
+            act_dtype = self.net_param.get("sampling_act_dtype", "float32")
+            tile_m = self.net_param.get("denoiser_tile_m", 1024)
 
             def model_fn(y, t):
                 return fused_nsdiff_denoiser(
                     params["model"], y, y0_hat, gx, t, matmul_dtype=mm_dtype,
-                    tile_m=tile_m,
+                    act_dtype=act_dtype, tile_m=tile_m,
                 )
 
         else:

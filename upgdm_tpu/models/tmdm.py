@@ -160,9 +160,35 @@ class TMDMModel(DiffusionWrapperBase):
             {"params": params["enc_embedding"]}, batch_x, deterministic=True
         )
 
-        def model_fn(y, t):
-            tb = jnp.broadcast_to(jnp.asarray(t), (y.shape[0],))
-            return self.denoiser.apply({"params": params["model"]}, emb, y, y_0_hat, tb)
+        # Default OFF: the forced-sync A/B (benchmarks/ab_tmdm.py,
+        # BENCH_TMDM_AB.json) measured the fused kernel 1.55x SLOWER than the
+        # plain flax denoiser here (12.8k vs 19.8k traj/s) — unlike NsDiff,
+        # this trunk has no inter-layer l2-norms, so XLA already fuses it
+        # optimally and the pallas_call only adds overhead.  Kept opt-in for
+        # experiments; parity guarded in tests/test_pallas_denoiser.py.
+        use_pallas = bool(self.net_param.get("use_pallas_denoiser", False))
+        # the fused kernel implements only the cat_y_pred=True input layout
+        # (concat(y_t, y0_hat) — the reference tmdm.yml default)
+        use_pallas = use_pallas and self.denoiser.cat_y_pred
+        if use_pallas:
+            from ..ops.pallas.fused_denoiser import fused_tmdm_denoiser
+
+            mm_dtype = self.net_param.get("sampling_matmul_dtype", "bfloat16")
+            tile_m = self.net_param.get("denoiser_tile_m", 1024)
+
+            def model_fn(y, t):
+                return fused_tmdm_denoiser(
+                    params["model"], y, y_0_hat, t,
+                    matmul_dtype=mm_dtype, tile_m=tile_m,
+                )
+
+        else:
+
+            def model_fn(y, t):
+                tb = jnp.broadcast_to(jnp.asarray(t), (y.shape[0],))
+                return self.denoiser.apply(
+                    {"params": params["model"]}, emb, y, y_0_hat, tb
+                )
 
         def one_sample(k):
             return D.card_p_sample_loop(model_fn, y_0_hat, self.sched, k)

@@ -37,7 +37,8 @@ _EPS_NORM = 1e-12
 def _kernel(x_ref, g1_ref, g2_ref, g3_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
             w4_ref, b4_ref, ws_ref, bs_ref,
-            eps_ref, sigma_ref, *, matmul_dtype=jnp.float32):
+            eps_ref, sigma_ref, *, matmul_dtype=jnp.float32,
+            act_dtype=jnp.float32):
     # vectors (biases, timestep gates) arrive as (1, n) rows — broadcast-ready
     x = x_ref[:]
 
@@ -52,26 +53,38 @@ def _kernel(x_ref, g1_ref, g2_ref, g3_ref,
                        preferred_element_type=jnp.float32)
 
     def layer(h, w_ref, b_ref, g_ref):
-        out = dot(h, w_ref)
-        out = g_ref[:] * (out + b_ref[:])
+        # act_dtype=bfloat16 runs the gate/softplus/l2-norm band on
+        # packed-bf16 VPU lanes.  The dot must still accumulate fp32 —
+        # Mosaic rejects a bf16 matmul acc ("Expected matmul acc to be
+        # 32-bit") — so the downcast happens on the dot RESULT; the next
+        # layer's dot then consumes the bf16 activations directly (no
+        # astype-into-dot, which Mosaic folds away).  The norm accumulation
+        # stays fp32 (a 128-element sum of squares is where bf16 actually
+        # loses digits).
+        out = dot(h, w_ref).astype(act_dtype)
+        out = g_ref[:].astype(act_dtype) * (out + b_ref[:].astype(act_dtype))
         out = jax.nn.softplus(out)
         # l2-normalize via rsqrt+mul: one multi-cycle VPU divide per element
         # becomes a mul (the norm clamp keeps torch F.normalize semantics:
         # x / max(||x||, eps) == x * rsqrt(max(||x||^2, eps^2)) for eps<<1)
-        s2 = jnp.sum(out * out, axis=-1, keepdims=True)
-        return out * jax.lax.rsqrt(jnp.maximum(s2, _EPS_NORM * _EPS_NORM))
+        s2 = jnp.sum((out * out).astype(jnp.float32), axis=-1, keepdims=True)
+        r = jax.lax.rsqrt(jnp.maximum(s2, _EPS_NORM * _EPS_NORM))
+        return out * r.astype(act_dtype)
 
     h = layer(x, w1_ref, b1_ref, g1_ref)
     h = layer(h, w2_ref, b2_ref, g2_ref)
     h = layer(h, w3_ref, b3_ref, g3_ref)
     eps_ref[:] = dot(h, w4_ref) + b4_ref[:]
-    hs = jax.nn.softplus(h)
+    hs = jax.nn.softplus(h.astype(jnp.float32))
     sigma_ref[:] = jax.nn.softplus(dot(hs, ws_ref) + bs_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "matmul_dtype", "tile_m"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "matmul_dtype", "act_dtype", "tile_m")
+)
 def fused_denoiser_rows(x, gammas, weights, interpret: bool = False,
-                        matmul_dtype: str = "float32", tile_m: int = TILE_M):
+                        matmul_dtype: str = "float32", act_dtype: str = "float32",
+                        tile_m: int = TILE_M):
     """x: [M, 3F] concat(y_t, y0_hat, gx) rows -> (eps [M, F], sigma [M, F]).
 
     gammas: (g1, g2, g3) per-timestep embedding rows, each [HIDDEN]
@@ -79,6 +92,9 @@ def fused_denoiser_rows(x, gammas, weights, interpret: bool = False,
     weights: (W1, b1, W2, b2, W3, b3, W4, b4, Ws, bs).
     matmul_dtype: "float32" (default, bit-matched to the flax denoiser) or
     "bfloat16" (single-pass MXU matmuls, fp32 accumulate/activations).
+    act_dtype: "float32" (default) or "bfloat16" — dtype of the trunk
+    activations between matmuls (gate/softplus/l2-norm run packed-bf16 on the
+    VPU; the norm's sum-of-squares and both output heads stay fp32).
     tile_m: rows per grid step; larger tiles amortize per-invocation overhead
     against VMEM (h tile is [tile_m, 128] fp32).
     """
@@ -86,7 +102,11 @@ def fused_denoiser_rows(x, gammas, weights, interpret: bool = False,
 
     _dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
     mm_dt = _dt[str(matmul_dtype)]
-    kernel = functools.partial(_kernel, matmul_dtype=mm_dt)
+    act_dt = _dt[str(act_dtype)]
+    if act_dt != jnp.float32 and mm_dt == jnp.float32:
+        raise ValueError("act_dtype=bfloat16 requires matmul_dtype=bfloat16 "
+                         "(the trunk dots must consume the bf16 activations)")
+    kernel = functools.partial(_kernel, matmul_dtype=mm_dt, act_dtype=act_dt)
     M, in_dim = x.shape
     F = weights[6].shape[1]
     m_pad = (-M) % tile_m
@@ -155,7 +175,8 @@ def denoiser_gammas_from_params(params_model, t):
 
 
 def fused_nsdiff_denoiser(params_model, y_t, y_0_hat, g_x, t, interpret: bool = False,
-                          matmul_dtype: str = "float32", tile_m: int = TILE_M):
+                          matmul_dtype: str = "float32", act_dtype: str = "float32",
+                          tile_m: int = TILE_M):
     """Drop-in equivalent of NsDiffDenoiser.apply for scalar timestep t.
 
     y_t / y_0_hat / g_x: [..., O, F]; t: scalar int. Returns (eps, sigma)
@@ -169,6 +190,101 @@ def fused_nsdiff_denoiser(params_model, y_t, y_0_hat, g_x, t, interpret: bool = 
     weights = denoiser_weights_from_params(params_model)
     eps, sigma = fused_denoiser_rows(
         rows, gammas, weights, interpret=interpret, matmul_dtype=matmul_dtype,
-        tile_m=tile_m,
+        act_dtype=act_dtype, tile_m=tile_m,
     )
     return eps.reshape(lead_shape + (F,)), sigma.reshape(lead_shape + (F,))
+
+
+# ===========================================================================
+# TMDM variant: same ConditionalLinear trunk, no inter-layer normalization,
+# single eps head (models/denoise.py::TMDMDenoiser, reference
+# TMDM/tmdm_model.py:23-64 with cat_y_pred=True -> input concat(y_t, y0_hat)).
+# ===========================================================================
+
+def _tmdm_kernel(x_ref, g1_ref, g2_ref, g3_ref,
+                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                 w4_ref, b4_ref, eps_ref, *, matmul_dtype=jnp.float32):
+    x = x_ref[:]
+
+    def dot(a, w_ref):
+        return jnp.dot(a.astype(matmul_dtype), w_ref[:],
+                       preferred_element_type=jnp.float32)
+
+    def layer(h, w_ref, b_ref, g_ref):
+        out = dot(h, w_ref)
+        return jax.nn.softplus(g_ref[:] * (out + b_ref[:]))
+
+    h = layer(x, w1_ref, b1_ref, g1_ref)
+    h = layer(h, w2_ref, b2_ref, g2_ref)
+    h = layer(h, w3_ref, b3_ref, g3_ref)
+    eps_ref[:] = dot(h, w4_ref) + b4_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "matmul_dtype", "tile_m"))
+def fused_tmdm_rows(x, gammas, weights, interpret: bool = False,
+                    matmul_dtype: str = "bfloat16", tile_m: int = 1024):
+    """x: [M, 2F] concat(y_t, y0_hat) rows -> eps [M, F].
+
+    weights: (W1, b1, W2, b2, W3, b3, W4, b4)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    _dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+    mm_dt = _dt[str(matmul_dtype)]
+    kernel = functools.partial(_tmdm_kernel, matmul_dtype=mm_dt)
+    M, in_dim = x.shape
+    F = weights[6].shape[1]
+    m_pad = (-M) % tile_m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = x.shape[0]
+    g1, g2, g3 = (jnp.atleast_2d(g) for g in gammas)
+    weights = tuple(jnp.atleast_2d(w) if w.ndim == 1 else w for w in weights)
+    if mm_dt != jnp.float32:
+        weights = tuple(
+            w.astype(mm_dt) if i % 2 == 0 else w for i, w in enumerate(weights)
+        )
+        x = x.astype(mm_dt)
+
+    vmem = dict(memory_space=pltpu.VMEM) if not interpret else {}
+    row_spec = pl.BlockSpec((tile_m, in_dim), lambda i: (i, 0), **vmem)
+    out_spec = pl.BlockSpec((tile_m, F), lambda i: (i, 0), **vmem)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), **vmem)
+
+    (eps,) = pl.pallas_call(
+        kernel,
+        grid=(Mp // tile_m,),
+        in_specs=[
+            row_spec,
+            full(g1.shape), full(g2.shape), full(g3.shape),
+            full(weights[0].shape), full(weights[1].shape),
+            full(weights[2].shape), full(weights[3].shape),
+            full(weights[4].shape), full(weights[5].shape),
+            full(weights[6].shape), full(weights[7].shape),
+        ],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((Mp, F), jnp.float32)],
+        interpret=interpret,
+    )(x, g1, g2, g3, *weights)
+    if m_pad:
+        eps = eps[:M]
+    return eps
+
+
+def fused_tmdm_denoiser(params_model, y_t, y_0_hat, t, interpret: bool = False,
+                        matmul_dtype: str = "bfloat16", tile_m: int = 1024):
+    """Drop-in for TMDMDenoiser.apply (cat_y_pred=True path) at scalar t."""
+    x = jnp.concatenate([y_t, y_0_hat], axis=-1)
+    lead_shape = x.shape[:-1]
+    F = y_t.shape[-1]
+    rows = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    p = params_model
+    gammas = (p["lin1"]["embed"][t], p["lin2"]["embed"][t], p["lin3"]["embed"][t])
+    weights = (
+        p["lin1"]["Dense_0"]["kernel"], p["lin1"]["Dense_0"]["bias"],
+        p["lin2"]["Dense_0"]["kernel"], p["lin2"]["Dense_0"]["bias"],
+        p["lin3"]["Dense_0"]["kernel"], p["lin3"]["Dense_0"]["bias"],
+        p["lin4"]["kernel"], p["lin4"]["bias"],
+    )
+    eps = fused_tmdm_rows(rows, gammas, weights, interpret=interpret,
+                          matmul_dtype=matmul_dtype, tile_m=tile_m)
+    return eps.reshape(lead_shape + (F,))
