@@ -122,9 +122,10 @@ def main(argv=None):
     g_x = rng.normal(size=(n_gwin, NODE, W, 1)).astype(np.float32)
 
     def run_diffstg(model):
-        # host loop over windows, one compiled per-window program: measured
-        # 6.7x faster per window than vmapping the window axis into the
-        # sampling scan (XLA picks a much worse schedule for the batched form)
+        # host loop over windows, one compiled per-window program: the
+        # forced-sync A/B (ab_diffstg.py) measures it 2.3x faster per window
+        # than vmapping the window axis into the sampling scan (XLA picks a
+        # much worse schedule for the batched form)
         n_traj = 0
         for i in range(n_gwin):
             outs, _ = model.evaluation_step({"x": g_x[i], "adj": adj})
