@@ -107,7 +107,7 @@ def train_one(task_model: str, wins, adj, out_dir: Path, epochs: int):
     return out_dir / "trained_model"
 
 
-def mpv_sweep(task_model, trained, adj, ys, ts, step: int):
+def mpv_sweep(trained, adj, ys, ts, step: int):
     from upgdm_tpu.eval.uncertainty import load_model_from_dir
 
     model, _np_ = load_model_from_dir(trained.parent / "model")
@@ -118,10 +118,7 @@ def mpv_sweep(task_model, trained, adj, ys, ts, step: int):
         win = ys[s : s + W].T[..., None]  # [V, W, 1]
         if model.scaler is not None:
             win = model.scaler_transform(win)
-        if task_model == "NsDiff_spatial":
-            outs, _ = model.evaluation_step({"x": win, "adj": adj})
-        else:
-            outs, _ = model.evaluation_step({"x": win, "adj": adj})
+        outs, _ = model.evaluation_step({"x": win, "adj": adj})
         outs = np.asarray(outs)
         if model.scaler is not None:
             outs = outs * float(np.asarray(model.scaler_std).ravel()[0]) + float(
@@ -158,7 +155,7 @@ def main(argv=None):
             shutil.copy(trained / "model_trained.yaml", mdir / "model/model_trained.yaml")
             log(f"{task}: trained")
         times, mpvs, elapsed = mpv_sweep(
-            task, mdir / "trained_model", adj, ys, ts, args.scan_step)
+            mdir / "trained_model", adj, ys, ts, args.scan_step)
         row = metric_row_from_mpv(times, mpvs, tr["transition_time"])
         np.savetxt(out / f"{task}_mpv.csv",
                    np.stack([times, mpvs], axis=1), delimiter=",",

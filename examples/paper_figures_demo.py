@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import random
 import shutil
+import zlib
 import sys
 import time
 from pathlib import Path
@@ -93,6 +94,15 @@ def log(msg):
     print(f"[{time.time()-T0:6.0f}s] {msg}", flush=True)
 
 
+def stable_seed(*parts) -> int:
+    """Deterministic seed from the spec tuple.
+
+    Python's builtin ``hash`` is salted per process (PYTHONHASHSEED), which
+    would make the "idempotent" data stage irreproducible across runs.
+    """
+    return zlib.crc32(repr(parts).encode()) % 100_000
+
+
 # ===========================================================================
 # stage: data
 # ===========================================================================
@@ -109,7 +119,7 @@ def gen_data(out: Path):
                 rec = simulate_slbp(
                     params={"D": float(d)}, trend=trend, total_time=float(total),
                     burn_time=1000.0, dt=0.1,
-                    seed=hash((total, trend, d)) % 100_000,
+                    seed=stable_seed(total, trend, d),
                 )
                 save_pt(rec, path)
                 log(f"SLBP {total} {trend} D={d}: {rec['ys_dynamic'].shape}")
@@ -120,7 +130,7 @@ def gen_data(out: Path):
             continue
         rec = simulate_slbp(
             params={"D": d}, total_time=100000.0, burn_time=1000.0, dt=0.1,
-            seed=hash(folder) % 100_000, constant_n=n,
+            seed=stable_seed(folder), constant_n=n,
         )
         save_pt(rec, path)
         log(f"SLBP contant {folder}: {rec['ys_dynamic'].shape}")
@@ -141,7 +151,7 @@ def gen_data(out: Path):
             rec = simulate_network_system(
                 system, adj, trend="increase", total_time=cfg["total_time"],
                 burn_time=cfg["burn_time"], dt=0.1,
-                seed=hash((system, gname)) % 100_000,
+                seed=stable_seed(system, gname),
                 control_range=cfg["control_range"],
                 base_params=cfg["base_params"], eta=cfg["eta"],
             )
@@ -324,7 +334,6 @@ def train_models(out: Path):
                          method="Lowess", span=0.2).astype(np.float32)
         flat = unfold_windows(series[:, None], 200, 2)
         net = dict(SLBP_NET, dataset_nf=1, windows=100, pred_len=100)
-        flat = unfold_windows(series[:, None], 200, 2)
         trained = _train(flat, net, "NsDiff_model", scratch / "real_model", seed=29,
                          dataset_param=dict(file_path=str(ds / "real_data"),
                                             windows=100, pred_len=100,

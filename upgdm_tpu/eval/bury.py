@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
 import tempfile
 import zipfile
 from pathlib import Path
@@ -63,15 +64,14 @@ def load_keras_model(model_path: Path):
     try:
         return load_model(model_path, compile=False, safe_mode=False)
     except (ValueError, TypeError):
+        config_text = _archive_member(model_path, "config.json").decode("utf-8")
         try:
-            model = model_from_json(_archive_member(model_path, "config.json").decode("utf-8"))
+            model = model_from_json(config_text)
         except (ValueError, TypeError):
             # Keras 3 rejects Keras-2 layer kwargs (batch_input_shape,
             # time_major, ...): rebuild the Sequential graph layer by layer
             # from the sanitised legacy config.
-            model = _rebuild_from_legacy_config(
-                json.loads(_archive_member(model_path, "config.json").decode("utf-8"))
-            )
+            model = _rebuild_from_legacy_config(json.loads(config_text))
         _bind_archive_weights(model, model_path)
         return model
 
@@ -111,23 +111,32 @@ def _bind_archive_weights(model, model_path: Path) -> None:
         if arrays is not None and signature(arrays) == signature(layer.get_weights()):
             assignment[layer.name] = arrays
 
-    # phase 2: remaining layers resolve by shape signature among leftovers
+    # phase 2: remaining layers resolve by shape signature among leftovers.
+    # Per signature, demanders (in model/topological order) pair with groups
+    # in NATURAL name order ("lstm_2" before "lstm_10" — h5py iterates
+    # alphabetically, which would misorder numeric suffixes); any count
+    # mismatch is an error, never a guess.
+    def natural(name: str):
+        m = re.match(r"(.*?)(\d+)?$", name)
+        return (m.group(1), int(m.group(2) or 0))
+
     leftovers = {n: a for n, a in groups.items() if n not in assignment}
-    for layer in weighted:
-        if layer.name in assignment:
-            continue
-        want = signature(layer.get_weights())
-        hits = [n for n, a in leftovers.items() if signature(a) == want]
-        if not hits:
-            raise ValueError(f"Missing weights for layer {layer.name} in {model_path}")
-        if len(hits) > 1 and sum(
-            1 for l in weighted
-            if l.name not in assignment and signature(l.get_weights()) == want
-        ) < len(hits):
+    unresolved = [l for l in weighted if l.name not in assignment]
+    by_sig = {}
+    for layer in unresolved:
+        by_sig.setdefault(signature(layer.get_weights()), []).append(layer)
+    for want, demanders in by_sig.items():
+        hits = sorted(
+            (n for n, a in leftovers.items() if signature(a) == want), key=natural
+        )
+        if len(hits) != len(demanders):
+            names = [l.name for l in demanders]
             raise ValueError(
-                f"Ambiguous weight groups {hits} for layer {layer.name} in {model_path}"
+                f"Cannot bind weight groups {hits} to layers {names} "
+                f"(signature {want}) in {model_path}"
             )
-        assignment[layer.name] = leftovers.pop(hits[0])
+        for layer, name in zip(demanders, hits):
+            assignment[layer.name] = leftovers.pop(name)
 
     for layer in weighted:
         layer.set_weights(assignment[layer.name])

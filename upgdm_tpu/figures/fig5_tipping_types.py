@@ -33,12 +33,12 @@ def cache_file(ews_root, cache_folder, d_value, trend) -> Path:
 
 
 def load_panel_data(ews_root, source_root, trend, total_time, cache_folder, d_value,
-                    sample_window_step) -> dict:
+                    sample_window_step, model_name: str = MODEL_NAME) -> dict:
     data_path = slbp_source_path(source_root, total_time, trend, d_value)
     time_data, series = load_dynamic_record(data_path)
     mpv_result = slbp_mpv_analysis(
         model_root=Path(ews_root) / "NsDiff_trends",
-        model_name=MODEL_NAME,
+        model_name=model_name,
         torch_time_series=series,
         time_data=time_data,
         cache_path=cache_file(ews_root, cache_folder, d_value, trend),
@@ -57,7 +57,6 @@ def load_panel_data(ews_root, source_root, trend, total_time, cache_folder, d_va
 
 
 def main(argv=None):
-    global MODEL_NAME
     import matplotlib.pyplot as plt
 
     parser = argparse.ArgumentParser(description="Fig 5: tipping types grid")
@@ -69,7 +68,6 @@ def main(argv=None):
                         default=[f"{t}:{f}:{s}" for t, f, s in TIME_ROWS])
     parser.add_argument("--model-name", default=MODEL_NAME)
     args = parser.parse_args(argv)
-    MODEL_NAME = args.model_name
     d_values = tuple(args.d_values)
     time_rows = [
         (t, f, int(s)) for t, f, s in (row.split(":") for row in args.time_rows)
@@ -85,7 +83,8 @@ def main(argv=None):
         for d_value in d_values:
             for trend in TRENDS:
                 panel = load_panel_data(args.ews_root, args.source_root, trend,
-                                        total_time, cache_folder, d_value, step)
+                                        total_time, cache_folder, d_value, step,
+                                        model_name=args.model_name)
                 state_row, mpv_row = 2 * row_index, 2 * row_index + 1
                 axes[state_row, col].plot(panel["ts"], panel["ys"], color="#0F4D92",
                                           linewidth=0.9)

@@ -351,11 +351,14 @@ def convert_reference_dts_state_dict(
     }
     out = _convert(flat, key_map, strict)
     # torch combine_m is bias-free (diffusionts_transformer.py:413); our
-    # TimeMixDense carries a bias -> identical with zeros
-    out.setdefault(
-        "model.combine_m.bias",
-        np.zeros(np.asarray(out["model.combine_m.kernel"]).shape[0], np.float32),
-    )
+    # TimeMixDense carries a bias -> identical with zeros.  Guard on the
+    # kernel's presence: under strict=False a partial checkpoint may lack
+    # combine_m entirely, and the zeros bias would be meaningless anyway.
+    if "model.combine_m.kernel" in out:
+        out.setdefault(
+            "model.combine_m.bias",
+            np.zeros(np.asarray(out["model.combine_m.kernel"]).shape[0], np.float32),
+        )
     return out
 
 
