@@ -65,17 +65,21 @@ def main():
     one = jax.jit(lambda p, h, k: model.sample_fn(p, h, adj, k, S))
     sync(one(model.params, hist[0], key))  # compile
 
-    def host_loop():
-        outs = [one(model.params, hist[i], jax.random.fold_in(key, i))
+    def host_loop(rep):
+        # fold the rep into the key so every rep fetches DIFFERENT values —
+        # the axon tunnel dedupes repeated fetches of identical values, which
+        # would otherwise let later reps return without observing completion
+        outs = [one(model.params, hist[i],
+                    jax.random.fold_in(key, rep * N_WIN + i))
                 for i in range(N_WIN)]
         sync(outs[-1])  # device executes serially; last sync covers all
 
     t0 = time.time()
-    host_loop()
+    host_loop(0)
     results["host_loop_s"] = time.time() - t0
-    for _ in range(2):
+    for rep in range(1, 3):
         t0 = time.time()
-        host_loop()
+        host_loop(rep)
         results["host_loop_s"] = min(results["host_loop_s"], time.time() - t0)
 
     # per-window FLOPs (best effort)
@@ -93,9 +97,10 @@ def main():
     )(hs, jax.random.split(k, N_WIN)))
     sync(batched(model.params, hist, key))  # compile
     best = float("inf")
-    for _ in range(3):
+    for rep in range(3):
+        k_rep = jax.random.fold_in(key, 1000 + rep)  # unique values per rep
         t0 = time.time()
-        sync(batched(model.params, hist, key))
+        sync(batched(model.params, hist, k_rep))
         best = min(best, time.time() - t0)
     results["vmap_s"] = best
 
