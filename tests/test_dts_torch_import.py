@@ -98,3 +98,18 @@ def test_dts_full_checkpoint_roundtrip(ref_transformer, tmp_path):
         np.random.default_rng(1).normal(size=(2, 24, 2)).astype(np.float32)
     )
     assert np.isfinite(np.asarray(outs)).all()
+
+
+def test_dts_partial_checkpoint_strict_false(ref_transformer):
+    """strict=False tolerates a partial checkpoint (e.g. missing combine_m)
+    instead of raising KeyError from the combine_m bias backfill."""
+    from upgdm_tpu.utils.torch_import import convert_reference_dts_state_dict
+
+    sd = {
+        f"model.model.{k}": v.numpy()
+        for k, v in ref_transformer.state_dict().items()
+        if "combine_m" not in k
+    }
+    flat = convert_reference_dts_state_dict(sd, NET_PARAM, strict=False)
+    assert flat  # best-effort dict, no combine_m entries
+    assert not any("combine_m" in k for k in flat)
