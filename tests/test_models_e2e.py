@@ -131,3 +131,41 @@ def test_dp_run_training(tmp_path):
         net_param, {}, dict(optimizer_name="Adam", lr=1e-3), tmp_path,
     )
     assert np.isfinite(rs["train_scores"]).all()
+
+
+def test_diffstg_bf16_sampling_mpv_parity():
+    """sampling_dtype="bfloat16" (UGnet denoiser in bf16, chain state fp32)
+    must keep ensemble MPV within the 1% parity budget (measured 0.10%)."""
+    import jax
+    import jax.numpy as jnp
+
+    from upgdm_tpu.models.diffstg import DiffSTGModel
+
+    rng = np.random.default_rng(0)
+    NODE = 12
+    cfg = dict(
+        T_h=24, T_p=8, F=1, diffusion_steps=50, inference_diffusion_steps=10,
+        inference_trick="ddim", inference_schedule="cosine",
+        diffusion_schedule="linear", scaler_type=None, d_h=4, Td_h=10,
+        channel_multipliers=[1, 2], n_blocks=2, gnn_name="GCNConv",
+        parallel_sampling=4, sequential_sampling=4, init_num_nodes=NODE,
+        task_model="DiffSTG",
+    )
+    adj = (rng.uniform(size=(NODE, NODE)) < 0.3).astype(np.float32)
+    adj = ((adj + adj.T) > 0).astype(np.float32)
+    np.fill_diagonal(adj, 0)
+    adj = jnp.asarray(adj)
+    hist = jnp.asarray(rng.normal(size=(NODE, 24, 1)).astype(np.float32))
+    key = jax.random.key(0)
+    S = 64
+
+    m32 = DiffSTGModel(cfg)
+    m16 = DiffSTGModel(dict(cfg, sampling_dtype="bfloat16"))
+    m16.params = m32.params  # identical weights, same PRNG keys
+    e32 = np.asarray(jax.jit(
+        lambda p, h, k: m32.sample_fn(p, h, adj, k, S))(m32.params, hist, key))
+    e16 = np.asarray(jax.jit(
+        lambda p, h, k: m16.sample_fn(p, h, adj, k, S))(m16.params, hist, key))
+    mpv32 = e32.var(axis=-1).mean()
+    mpv16 = e16.var(axis=-1).mean()
+    assert abs(mpv16 - mpv32) / mpv32 < 0.01

@@ -188,6 +188,25 @@ class DiffSTGModel(DiffusionWrapperBase):
             rows.append((float(t1), a, b, c))
         tab = jnp.asarray(rows, jnp.float32)  # [steps, 4]
 
+        # Default: the UGnet denoiser (the bandwidth-bound part — see
+        # BENCH_DIFFSTG_GROUPS.json: tiny d_h channels pad ~32x on MXU lanes,
+        # leaving each window bandwidth-bound) runs in bf16: params and net
+        # inputs are cast, while the chain state xt, the affine posterior
+        # coefficients, and the PRNG draws all stay fp32 — the same split the
+        # NsDiff fused kernel uses.  Measured 1.27x (857 vs 675 traj/s,
+        # BENCH_DIFFSTG_BF16.json) at 0.10% MPV shift; parity guarded in
+        # tests/test_models_e2e.py.  Set net_param["sampling_dtype"]=
+        # "float32" for bit-parity with training.
+        net_dt = self.net_param.get("sampling_dtype", "bfloat16")
+        net_params = params["model"]
+        if net_dt != "float32":
+            bf = jnp.bfloat16
+            cast = lambda a: a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating) else a
+            net_params = jax.tree.map(cast, net_params)
+            x_m_net, adj_net = x_masked.astype(bf), adj_b.astype(bf)
+        else:
+            x_m_net, adj_net = x_masked, adj_b
+
         def one_sample(k):
             k, k0 = jax.random.split(k)
             xt0 = jax.random.normal(k0, x_masked.shape, x_masked.dtype)
@@ -197,9 +216,10 @@ class DiffSTGModel(DiffusionWrapperBase):
                 row, kz = inp
                 t_b = row[0][None]
                 eps_pred = self.net.apply(
-                    {"params": params["model"]}, xt, t_b, x_masked, adj_b,
-                    deterministic=True,
-                )
+                    {"params": net_params},
+                    xt.astype(x_m_net.dtype), t_b.astype(x_m_net.dtype),
+                    x_m_net, adj_net, deterministic=True,
+                ).astype(jnp.float32)
                 z = jax.random.normal(kz, xt.shape, xt.dtype)
                 xt = row[1] * xt + row[2] * eps_pred + row[3] * z
                 return (xt,), None

@@ -64,7 +64,7 @@ class TimeConvTranspose(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(), (k, C, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         out = jax.lax.conv_general_dilated(
-            h,
+            h.astype(w.dtype),  # raw lax conv requires matching dtypes
             w,
             window_strides=(1,),
             padding=[(k - 1 - p, k - 1 - p)],
