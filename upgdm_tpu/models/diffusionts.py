@@ -94,10 +94,33 @@ class DiffusionTSModel(DiffusionWrapperBase):
 
     # ------------------------------------------------------------------
     def _output(self, params, x, t, train=False, rngs=None):
+        p = params["model"]
+        # follow the params' dtype: the sampling path may carry a bf16 cast
+        # of the net (see _sampling_params); training params are fp32 so this
+        # is a no-op there.  The astype is differentiable — Langevin grads
+        # w.r.t. the fp32 chain state come back fp32-typed.
+        dt = jax.tree.leaves(p)[0].dtype
         trend, season = self.net.apply(
-            {"params": params["model"]}, x, t, deterministic=not train, rngs=rngs
+            {"params": p}, x.astype(dt), t, deterministic=not train, rngs=rngs
         )
-        return trend + season
+        return (trend + season).astype(jnp.float32)
+
+    def _sampling_params(self, params):
+        """Params for the sampling chain: the denoising transformer in bf16
+        when sampling_dtype="bfloat16" (the chain is MXU-compute-saturated —
+        BENCH_DTS_SCALE.json — so halving the matmul passes is the lever);
+        chain state, posterior coefficients and Langevin updates stay fp32.
+        The corrector update is lr*sign(grad) elementwise, so gradient
+        precision is immaterial.  Measured 1.24x (72.8 vs 58.7 traj/s,
+        BENCH_DTS_BF16.json) at 0.39% MPV bias vs a 1.7% fp32 key-to-key CV;
+        MPV parity guarded in test_models_e2e.py.  Set net_param
+        ["sampling_dtype"]="float32" for bit-parity with training.
+        """
+        if self.net_param.get("sampling_dtype", "bfloat16") == "float32":
+            return params
+        bf = jnp.bfloat16
+        cast = lambda a: a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating) else a
+        return dict(params, model=jax.tree.map(cast, params["model"]))
 
     def _elem_loss(self, a, b):
         if self.loss_type == "l1":
@@ -217,6 +240,7 @@ class DiffusionTSModel(DiffusionWrapperBase):
         target: [B, T, F] with the unknown region zeroed; partial_mask: bool
         [B, T, F] True where known.
         """
+        params = self._sampling_params(params)
         pairs, tab = self._ddim_step_tables()
         key, k0 = jax.random.split(key)
         img = jax.random.normal(k0, target.shape, target.dtype)
@@ -273,6 +297,7 @@ class DiffusionTSModel(DiffusionWrapperBase):
     def generate_mts_fn(self, params, key, batch_size: int = 16):
         """Unconditional generation (DiffusionTS.py:178-221), scanned DDIM."""
         shape = (batch_size, self.seq_length, self.dataset_nf)
+        params = self._sampling_params(params)
         pairs, tab = self._ddim_step_tables()
         key, k0 = jax.random.split(key)
         img = jax.random.normal(k0, shape)

@@ -44,7 +44,10 @@ class AdaLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, timestep):
-        emb = sinusoidal_time_embedding(timestep, self.n_embd)
+        # cast the fp32 sinusoidal embedding to the token dtype so a bf16
+        # sampling pass stays bf16 (fp32 emb x bf16 kernel would promote the
+        # Dense — and everything downstream of the modulation — back to fp32)
+        emb = sinusoidal_time_embedding(timestep, self.n_embd).astype(x.dtype)
         emb = nn.Dense(self.n_embd * 2)(nn.silu(emb))[:, None, :]
         scale, shift = jnp.split(emb, 2, axis=2)
         x = nn.LayerNorm(use_bias=False, use_scale=False)(x) * (1 + scale) + shift
@@ -143,7 +146,8 @@ class FourierLayer(nn.Module):
         if use_matmul is None:
             use_matmul = jax.default_backend() not in ("cpu",)
         if not use_matmul:
-            return jnp.fft.rfft(x, axis=1)
+            # RFFT only accepts fp32/fp64 inputs
+            return jnp.fft.rfft(x.astype(jnp.float32), axis=1)
         n_freq = T // 2 + 1
         # W[t, f] = exp(-2πi t f / T), split into real/imag banks
         tf = 2.0 * np.pi * np.outer(np.arange(T), np.arange(n_freq)) / T
@@ -151,7 +155,9 @@ class FourierLayer(nn.Module):
         sin_bank = jnp.asarray(np.sin(tf), x.dtype)
         re = jnp.einsum("btd,tf->bfd", x, cos_bank)
         im = -jnp.einsum("btd,tf->bfd", x, sin_bank)
-        return jax.lax.complex(re, im)
+        # complex64 requires fp32 components (the DFT matmuls above may run
+        # bf16; the cheap spectral bookkeeping — abs/top_k/angle — stays fp32)
+        return jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
 
     @nn.compact
     def __call__(self, x):  # [B, T, D]
@@ -186,12 +192,16 @@ class FourierLayer(nn.Module):
             B_, D_ = idx.shape[0], idx.shape[1]
             bidx = jnp.arange(B_)[:, None, None]
             didx = jnp.arange(D_)[None, :, None]
-            re = jnp.zeros((B_, D_, length), x.dtype).at[bidx, didx, idx].add(jnp.real(sel))
-            im = jnp.zeros((B_, D_, length), x.dtype).at[bidx, didx, idx].add(jnp.imag(sel))
+            re = jnp.zeros((B_, D_, length), x.dtype).at[bidx, didx, idx].add(
+                jnp.real(sel).astype(x.dtype))
+            im = jnp.zeros((B_, D_, length), x.dtype).at[bidx, didx, idx].add(
+                jnp.imag(sel).astype(x.dtype))
             ang = 2 * np.pi * jnp.asarray(f, jnp.float32)[:, None] * t[None, :]  # [F, T]
+            # banks follow the token dtype (bf16 sampling): the angles are
+            # computed fp32 and only the cos/sin VALUES are rounded
             wave = 2.0 * (
-                jnp.einsum("bdl,lt->btd", re, jnp.cos(ang))
-                - jnp.einsum("bdl,lt->btd", im, jnp.sin(ang))
+                jnp.einsum("bdl,lt->btd", re, jnp.cos(ang).astype(x.dtype))
+                - jnp.einsum("bdl,lt->btd", im, jnp.sin(ang).astype(x.dtype))
             )
             return wave
         f_sel = jnp.asarray(f, jnp.float32)[idx]  # [B, D, k]
