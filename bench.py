@@ -46,11 +46,11 @@ NET_PARAM = dict(
     diffusion_schedule="linear", beta_start=1e-4, beta_end=2e-2,
     output_attention=False, dropout=0.05, factor=3, activation="gelu",
     load_pretrain=False, freeze_pretrain=False,
-    # round-2 kernel tuning (benchmarks/{ab_bf16,sweep_tile,diag_chain}.py):
-    # bf16 MXU matmuls in the fused denoiser trunk (fp32 accumulate) + 1024-row
-    # tiles.  MPV parity vs fp32 measured at 0.085% (tests/test_pallas_denoiser
-    # ::test_bf16_chain_mpv_parity guards the <=1% budget).
-    sampling_matmul_dtype="bfloat16", denoiser_tile_m=1024,
+    # round-2 precision tuning: the model defaults to the flax denoiser fully
+    # in bf16 (chain state fp32) — measured 1.22x over the tuned bf16-matmul
+    # Pallas kernel (BENCH_NSDIFF_FLAX_BF16.json: XLA lowers the
+    # softplus/l2-norm band packed-bf16, Mosaic cannot).  MPV parity <=1%
+    # guarded in tests/test_models_e2e.py and test_pallas_denoiser.py.
 )
 
 

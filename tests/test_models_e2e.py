@@ -208,3 +208,68 @@ def test_diffusionts_bf16_sampling_mpv_parity():
     mpv16 = e16.var(axis=-1).mean()
     assert np.isfinite(e16).all()
     assert abs(mpv16 - mpv32) / mpv32 < 0.05
+
+
+def test_tmdm_bf16_sampling_mpv_parity():
+    """sampling_dtype="bfloat16" (denoiser MLP in bf16, CARD chain state
+    fp32) keeps ensemble MPV within the 1% budget (measured 0.03% — the
+    chain is affine in eps so same-key comparison is exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from upgdm_tpu.models.tmdm import TMDMModel
+
+    cfg = dict(
+        dataset_nf=1, windows=24, pred_len=8, diffusion_steps=30,
+        scaler_type=None, d_model=32, n_heads=2, e_layers=1, d_layers=1,
+        d_ff=32, p_hidden_dims=[16, 16], p_hidden_layers=2, n_z_samples=48,
+        task_model="TMDM",
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(6, 24, 1)).astype(np.float32))
+    key = jax.random.key(0)
+
+    m32 = TMDMModel(dict(cfg, sampling_dtype="float32"))
+    m16 = TMDMModel(cfg)  # bf16 default
+    m16.params = m32.params
+    e32 = np.asarray(jax.jit(
+        lambda p, b, k: m32.sample_fn(p, b, k, 48))(m32.params, x, key))
+    e16 = np.asarray(jax.jit(
+        lambda p, b, k: m16.sample_fn(p, b, k, 48))(m16.params, x, key))
+    mpv32 = e32.var(axis=-1).mean()
+    mpv16 = e16.var(axis=-1).mean()
+    assert abs(mpv16 - mpv32) / mpv32 < 0.01
+
+
+def test_nsdiff_flax_bf16_sampling_mpv_parity():
+    """NsDiff flax-arm sampling_dtype="bfloat16" (denoiser fully bf16 incl.
+    the softplus/l2-norm band; chain state fp32) keeps ensemble MPV within
+    the 1% budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from upgdm_tpu.models.nsdiff import NsDiffModel
+
+    cfg = dict(
+        dataset_nf=1, windows=40, pred_len=20, rolling_length=10,
+        diffusion_steps=20, scaler_type=None, d_model=32, n_heads=2,
+        e_layers=1, d_layers=1, d_ff=16, p_hidden_dims=[8, 8],
+        p_hidden_layers=2, n_z_samples=48, task_model="NsDiff",
+        diffusion_schedule="linear", beta_start=1e-4, beta_end=2e-2,
+        output_attention=False, dropout=0.05, factor=3, activation="gelu",
+        load_pretrain=False, freeze_pretrain=False, use_pallas_denoiser=False,
+    )
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.normal(size=(12, 40, 1)) * 0.05 + 1.0).astype(np.float32))
+    key = jax.random.key(0)
+
+    m32 = NsDiffModel(dict(cfg, sampling_dtype="float32"))
+    m16 = NsDiffModel(dict(cfg, sampling_dtype="bfloat16"))
+    m16.params = m32.params
+    e32 = np.asarray(jax.jit(
+        lambda p, b, k: m32.sample_fn(p, b, k, 48))(m32.params, x, key))
+    e16 = np.asarray(jax.jit(
+        lambda p, b, k: m16.sample_fn(p, b, k, 48))(m16.params, x, key))
+    mpv32 = e32.var(axis=-1).mean()
+    mpv16 = e16.var(axis=-1).mean()
+    assert abs(mpv16 - mpv32) / mpv32 < 0.01

@@ -70,14 +70,13 @@ class NsDiffModel(DiffusionWrapperBase):
         self.has_f = has_f
         self.has_g = has_g
         self.wo_uans = wo_uans
-        # Fused Pallas denoiser for the reverse scan: ON for TPU backends,
-        # OFF on CPU (where the interpreter would be needed); overridable via
-        # net_param["use_pallas_denoiser"].
-        self.use_pallas_denoiser = p.get("use_pallas_denoiser")
-        if self.use_pallas_denoiser is None:
-            import jax as _jax
-
-            self.use_pallas_denoiser = _jax.default_backend() not in ("cpu",)
+        # Fused Pallas denoiser for the reverse scan: OFF by default since the
+        # flax denoiser fully in bf16 beats it 1.22x on TPU
+        # (BENCH_NSDIFF_FLAX_BF16.json: XLA lowers the softplus/l2-norm band
+        # packed-bf16, which Mosaic cannot — its packed-bf16 compares don't
+        # lower — so the kernel's elementwise band is stuck fp32).  Kept
+        # opt-in via net_param["use_pallas_denoiser"].
+        self.use_pallas_denoiser = bool(p.get("use_pallas_denoiser", False))
 
         self.sched = NsDiffSchedule.create(
             p.get("diffusion_schedule", "linear"),
@@ -273,10 +272,31 @@ class NsDiffModel(DiffusionWrapperBase):
                 )
 
         else:
+            # Flax arm (the default): the denoiser runs fully in bf16 —
+            # including the softplus/l2-norm elementwise band XLA can lower
+            # packed (unlike Mosaic, which rejects bf16 compares inside the
+            # pallas kernel; BENCH_NSDIFF_FLAX_BF16.json measures this arm
+            # 1.22x over the tuned kernel).  Chain state / posterior math
+            # stay fp32; MPV parity guarded in tests/test_models_e2e.py.
+            # Set net_param["sampling_dtype"]="float32" for bit-parity.
+            s_dt = self.net_param.get("sampling_dtype", "bfloat16")
+            if s_dt != "float32":
+                bf = jnp.bfloat16
+                cast = lambda a: (
+                    a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating) else a
+                )
+                den_params = jax.tree.map(cast, params["model"])
+                y0_n, gx_n = y0_hat.astype(bf), gx.astype(bf)
+            else:
+                den_params, y0_n, gx_n = params["model"], y0_hat, gx
+            in_dt = y0_n.dtype
 
             def model_fn(y, t):
                 tb = jnp.broadcast_to(jnp.asarray(t), (y.shape[0],))
-                return self.denoiser.apply({"params": params["model"]}, y, y0_hat, gx, tb)
+                eps, sig = self.denoiser.apply(
+                    {"params": den_params}, y.astype(in_dt), y0_n, gx_n, tb
+                )
+                return eps.astype(jnp.float32), sig.astype(jnp.float32)
 
         def one_sample(k):
             return D.nsdiff_p_sample_loop(

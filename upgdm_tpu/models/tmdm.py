@@ -183,12 +183,29 @@ class TMDMModel(DiffusionWrapperBase):
                 )
 
         else:
+            # Default: the denoiser MLP runs in bf16 (params + inputs cast;
+            # the CARD chain state, posterior coefficients and PRNG draws
+            # stay fp32) — the 100-step chain is bandwidth/VPU-bound like
+            # NsDiff's.  Measured in benchmarks/ab_tmdm_bf16.py; MPV parity
+            # guarded in tests/test_models_e2e.py.  Set net_param
+            # ["sampling_dtype"]="float32" for bit-parity with training.
+            s_dt = self.net_param.get("sampling_dtype", "bfloat16")
+            if s_dt != "float32":
+                bf = jnp.bfloat16
+                cast = lambda a: (
+                    a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating) else a
+                )
+                den_params = jax.tree.map(cast, params["model"])
+                emb_n, y0_n = emb.astype(bf), y_0_hat.astype(bf)
+            else:
+                den_params, emb_n, y0_n = params["model"], emb, y_0_hat
+            in_dt = y0_n.dtype
 
             def model_fn(y, t):
                 tb = jnp.broadcast_to(jnp.asarray(t), (y.shape[0],))
                 return self.denoiser.apply(
-                    {"params": params["model"]}, emb, y, y_0_hat, tb
-                )
+                    {"params": den_params}, emb_n, y.astype(in_dt), y0_n, tb
+                ).astype(jnp.float32)
 
         def one_sample(k):
             return D.card_p_sample_loop(model_fn, y_0_hat, self.sched, k)
