@@ -55,7 +55,8 @@ class NsDiffSpatialUGnet(nn.Module):
         n_res = len(self.channel_multipliers)
         x = jnp.concatenate([y_t, y_0_hat, g_x], axis=-1)  # [B, V, T, 3F]
         hx = nn.Dense(self.d_h, name="x_proj")(x)
-        temb = sinusoidal_time_embedding(t, self.d_h)
+        # token dtype (see ugnet.py): keeps bf16 sampling bf16 end to end
+        temb = sinusoidal_time_embedding(t, self.d_h).astype(hx.dtype)
 
         t_in = T
         stack = [hx]
@@ -346,11 +347,29 @@ class NsDiffSpatialModel(NsDiffModel):
         gx = self._apply_g_nodes(params, batch_x) + EPS
         B = batch_x.shape[0]
 
+        # Same precision split as the flat model: spatial UGnet denoiser in
+        # bf16 (params + inputs incl. the dense adjacency), chain state and
+        # posterior math fp32.  MPV parity guarded in tests/test_models_e2e.py.
+        s_dt = self.net_param.get("sampling_dtype", "bfloat16")
+        if s_dt != "float32":
+            bf = jnp.bfloat16
+            cast = lambda a: (
+                a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating) else a
+            )
+            den_params = jax.tree.map(cast, params["model"])
+            y0_n, gx_n = y0_hat.astype(bf), gx.astype(bf)
+            adj_n = jnp.asarray(adj).astype(bf)
+        else:
+            den_params, y0_n, gx_n, adj_n = params["model"], y0_hat, gx, adj
+        in_dt = y0_n.dtype
+
         def model_fn(y, t):
             tb = jnp.broadcast_to(jnp.asarray(t), (B,))
-            return self.denoiser.apply(
-                {"params": params["model"]}, y, y0_hat, gx, tb, adj, deterministic=True
+            eps, sig = self.denoiser.apply(
+                {"params": den_params}, y.astype(in_dt), y0_n, gx_n, tb, adj_n,
+                deterministic=True,
             )
+            return eps.astype(jnp.float32), sig.astype(jnp.float32)
 
         def one_sample(k):
             return D.nsdiff_p_sample_loop(

@@ -197,7 +197,10 @@ class UGnet(nn.Module):
 
         h_in = jnp.concatenate([x, x_masked], axis=2)  # [B, V, 2T, F]
         hx = nn.Dense(self.d_h, name="x_proj")(h_in)
-        temb = sinusoidal_time_embedding(t, self.d_h)  # [B, d_h]
+        # follow the token dtype: a fp32 temb would promote every residual
+        # `h + t_conv(temb)` — and all layers downstream — back to fp32
+        # during bf16 sampling
+        temb = sinusoidal_time_embedding(t, self.d_h).astype(hx.dtype)  # [B, d_h]
 
         # ---- down path
         t_in = 2 * T
