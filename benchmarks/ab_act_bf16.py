@@ -38,6 +38,10 @@ NET_PARAM = dict(
     diffusion_schedule="linear", beta_start=1e-4, beta_end=2e-2,
     output_attention=False, dropout=0.05, factor=3, activation="gelu",
     load_pretrain=False, freeze_pretrain=False,
+    # pin the Pallas kernel path: this script measures KERNEL knobs;
+    # the model-level default is now the flax-bf16 denoiser
+    # (BENCH_NSDIFF_FLAX_BF16.json)
+    use_pallas_denoiser=True,
 )
 
 
