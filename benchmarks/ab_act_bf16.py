@@ -71,9 +71,11 @@ def main():
         samp = jax.jit(lambda p, b, k: model.sample_fn(p, b, k, N_Z))
         sync(samp(model.params, x, key))  # compile + warm
         best = float("inf")
-        for _ in range(5):
+        for rep in range(5):
+            # unique values per rep — tunnel-dedupe-proof (see ab_diffstg.py)
+            k_rep = jax.random.fold_in(key, rep)
             t0 = time.time()
-            sync(samp(model.params, x, key))
+            sync(samp(model.params, x, k_rep))
             best = min(best, time.time() - t0)
         results[f"{tag}_chain_s"] = best
     results["speedup"] = results["act_fp32_chain_s"] / results["act_bf16_chain_s"]

@@ -41,6 +41,12 @@ def main(argv=None):
                     help="re-measure only these model rows; others are kept "
                          "from the existing --out report")
     args = ap.parse_args(argv)
+    known = {"NsDiff", "TMDM", "DiffusionTS", "DiffSTG"}
+    if args.only is not None:
+        bad = set(args.only) - known
+        if bad or not args.only:
+            ap.error(f"--only got {sorted(bad) or 'nothing'}; "
+                     f"choose from {sorted(known)}")
     rng = np.random.default_rng(0)
     W = P = 100
     NODE = 30

@@ -20,7 +20,6 @@ import os  # noqa: E402
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-sys.path.insert(0, str(REPO))
 import bench  # noqa: E402  (reuse the bench workload definition)
 
 CHUNKS = (16, 32)

@@ -313,3 +313,42 @@ def test_nsdiff_spatial_bf16_sampling_mpv_parity():
     mpv32 = e32.var(axis=-1).mean()
     mpv16 = e16.var(axis=-1).mean()
     assert abs(mpv16 - mpv32) / mpv32 < 0.01
+
+
+def test_diffstg_bf16_high_timestep_parity():
+    """Regression: at diffusion_steps>256 the timestep values are not exactly
+    representable in bf16, so t must stay fp32 in the bf16 sampling path
+    (sinusoidal_time_embedding consumes it fp32; a bf16 t misrounds steps)."""
+    import jax
+    import jax.numpy as jnp
+
+    from upgdm_tpu.models.diffstg import DiffSTGModel
+
+    rng = np.random.default_rng(1)
+    NODE = 8
+    cfg = dict(
+        T_h=16, T_p=8, F=1, diffusion_steps=500, inference_diffusion_steps=8,
+        inference_trick="ddim", inference_schedule="cosine",
+        diffusion_schedule="linear", scaler_type=None, d_h=4, Td_h=10,
+        channel_multipliers=[1, 2], n_blocks=1, gnn_name="GCNConv",
+        parallel_sampling=4, sequential_sampling=4, init_num_nodes=NODE,
+        task_model="DiffSTG",
+    )
+    adj = (rng.uniform(size=(NODE, NODE)) < 0.4).astype(np.float32)
+    adj = ((adj + adj.T) > 0).astype(np.float32)
+    np.fill_diagonal(adj, 0)
+    adj = jnp.asarray(adj)
+    hist = jnp.asarray(rng.normal(size=(NODE, 16, 1)).astype(np.float32))
+    key = jax.random.key(0)
+    S = 48
+
+    m32 = DiffSTGModel(dict(cfg, sampling_dtype="float32"))
+    m16 = DiffSTGModel(cfg)  # bf16 default
+    m16.params = m32.params
+    e32 = np.asarray(jax.jit(
+        lambda p, h, k: m32.sample_fn(p, h, adj, k, S))(m32.params, hist, key))
+    e16 = np.asarray(jax.jit(
+        lambda p, h, k: m16.sample_fn(p, h, adj, k, S))(m16.params, hist, key))
+    mpv32 = e32.var(axis=-1).mean()
+    mpv16 = e16.var(axis=-1).mean()
+    assert abs(mpv16 - mpv32) / mpv32 < 0.01

@@ -97,6 +97,37 @@ class DiffusionWrapperBase:
         self.params = jax.tree.map(jnp.asarray, tree)
 
     # -- helpers ------------------------------------------------------------
+    _SAMPLING_DTYPES = {
+        "float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+    }
+
+    def sampling_dtype(self, default: str = "bfloat16"):
+        """Validated net_param["sampling_dtype"] -> jnp dtype.
+
+        Raises on unknown strings so a typo ('fp32', 'float') cannot silently
+        select the wrong precision for a bit-parity run.
+        """
+        s = str(self.net_param.get("sampling_dtype", default))
+        try:
+            return self._SAMPLING_DTYPES[s]
+        except KeyError:
+            raise ValueError(
+                f"sampling_dtype={s!r}: expected one of "
+                f"{sorted(self._SAMPLING_DTYPES)}"
+            ) from None
+
+    @staticmethod
+    def cast_sampling_tree(tree, dtype):
+        """Cast the floating leaves of a param (sub)tree to the sampling
+        dtype; integer leaves (embedding indices, counters) untouched."""
+        if dtype == jnp.float32:
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree,
+        )
+
     @staticmethod
     def antithetic_t(key, n: int, num_timesteps: int) -> jnp.ndarray:
         """Antithetic timestep sampling (NsDiff_model.py:149-152)."""

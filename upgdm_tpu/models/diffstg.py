@@ -197,15 +197,10 @@ class DiffSTGModel(DiffusionWrapperBase):
         # BENCH_DIFFSTG_BF16.json) at 0.10% MPV shift; parity guarded in
         # tests/test_models_e2e.py.  Set net_param["sampling_dtype"]=
         # "float32" for bit-parity with training.
-        net_dt = self.net_param.get("sampling_dtype", "bfloat16")
-        net_params = params["model"]
-        if net_dt != "float32":
-            bf = jnp.bfloat16
-            cast = lambda a: a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating) else a
-            net_params = jax.tree.map(cast, net_params)
-            x_m_net, adj_net = x_masked.astype(bf), adj_b.astype(bf)
-        else:
-            x_m_net, adj_net = x_masked, adj_b
+        net_dt = self.sampling_dtype()
+        net_params = self.cast_sampling_tree(params["model"], net_dt)
+        x_m_net = x_masked.astype(net_dt)
+        adj_net = adj_b.astype(net_dt)
 
         def one_sample(k):
             k, k0 = jax.random.split(k)
@@ -214,10 +209,12 @@ class DiffSTGModel(DiffusionWrapperBase):
             def body(carry, inp):
                 xt, = carry
                 row, kz = inp
+                # t stays fp32: sinusoidal_time_embedding consumes it in fp32
+                # anyway, and a bf16 t misrounds timesteps above 256
                 t_b = row[0][None]
                 eps_pred = self.net.apply(
                     {"params": net_params},
-                    xt.astype(x_m_net.dtype), t_b.astype(x_m_net.dtype),
+                    xt.astype(net_dt), t_b,
                     x_m_net, adj_net, deterministic=True,
                 ).astype(jnp.float32)
                 z = jax.random.normal(kz, xt.shape, xt.dtype)

@@ -98,8 +98,12 @@ class DiffusionTSModel(DiffusionWrapperBase):
         # follow the params' dtype: the sampling path may carry a bf16 cast
         # of the net (see _sampling_params); training params are fp32 so this
         # is a no-op there.  The astype is differentiable — Langevin grads
-        # w.r.t. the fp32 chain state come back fp32-typed.
-        dt = jax.tree.leaves(p)[0].dtype
+        # w.r.t. the fp32 chain state come back fp32-typed.  Probe the first
+        # FLOATING leaf (an int leaf sorting first must not set x's dtype).
+        dt = next(
+            a.dtype for a in jax.tree.leaves(p)
+            if jnp.issubdtype(a.dtype, jnp.floating)
+        )
         trend, season = self.net.apply(
             {"params": p}, x.astype(dt), t, deterministic=not train, rngs=rngs
         )
@@ -116,11 +120,8 @@ class DiffusionTSModel(DiffusionWrapperBase):
         MPV parity guarded in test_models_e2e.py.  Set net_param
         ["sampling_dtype"]="float32" for bit-parity with training.
         """
-        if self.net_param.get("sampling_dtype", "bfloat16") == "float32":
-            return params
-        bf = jnp.bfloat16
-        cast = lambda a: a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating) else a
-        return dict(params, model=jax.tree.map(cast, params["model"]))
+        dt = self.sampling_dtype()
+        return dict(params, model=self.cast_sampling_tree(params["model"], dt))
 
     def _elem_loss(self, a, b):
         if self.loss_type == "l1":

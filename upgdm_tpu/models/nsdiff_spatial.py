@@ -350,18 +350,10 @@ class NsDiffSpatialModel(NsDiffModel):
         # Same precision split as the flat model: spatial UGnet denoiser in
         # bf16 (params + inputs incl. the dense adjacency), chain state and
         # posterior math fp32.  MPV parity guarded in tests/test_models_e2e.py.
-        s_dt = self.net_param.get("sampling_dtype", "bfloat16")
-        if s_dt != "float32":
-            bf = jnp.bfloat16
-            cast = lambda a: (
-                a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating) else a
-            )
-            den_params = jax.tree.map(cast, params["model"])
-            y0_n, gx_n = y0_hat.astype(bf), gx.astype(bf)
-            adj_n = jnp.asarray(adj).astype(bf)
-        else:
-            den_params, y0_n, gx_n, adj_n = params["model"], y0_hat, gx, adj
-        in_dt = y0_n.dtype
+        in_dt = self.sampling_dtype()
+        den_params = self.cast_sampling_tree(params["model"], in_dt)
+        y0_n, gx_n = y0_hat.astype(in_dt), gx.astype(in_dt)
+        adj_n = jnp.asarray(adj).astype(in_dt)
 
         def model_fn(y, t):
             tb = jnp.broadcast_to(jnp.asarray(t), (B,))

@@ -189,17 +189,9 @@ class TMDMModel(DiffusionWrapperBase):
             # NsDiff's.  Measured in benchmarks/ab_tmdm_bf16.py; MPV parity
             # guarded in tests/test_models_e2e.py.  Set net_param
             # ["sampling_dtype"]="float32" for bit-parity with training.
-            s_dt = self.net_param.get("sampling_dtype", "bfloat16")
-            if s_dt != "float32":
-                bf = jnp.bfloat16
-                cast = lambda a: (
-                    a.astype(bf) if jnp.issubdtype(a.dtype, jnp.floating) else a
-                )
-                den_params = jax.tree.map(cast, params["model"])
-                emb_n, y0_n = emb.astype(bf), y_0_hat.astype(bf)
-            else:
-                den_params, emb_n, y0_n = params["model"], emb, y_0_hat
-            in_dt = y0_n.dtype
+            in_dt = self.sampling_dtype()
+            den_params = self.cast_sampling_tree(params["model"], in_dt)
+            emb_n, y0_n = emb.astype(in_dt), y_0_hat.astype(in_dt)
 
             def model_fn(y, t):
                 tb = jnp.broadcast_to(jnp.asarray(t), (y.shape[0],))

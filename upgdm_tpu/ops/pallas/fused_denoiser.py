@@ -32,6 +32,49 @@ from jax.experimental import pallas as pl
 TILE_M = 512
 HIDDEN = 128
 _EPS_NORM = 1e-12
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+
+
+def _prep_rows(x, gammas, weights, mm_dt):
+    """Shared const prep: vectors to (1, n) rows (TPU-friendly 2-D layouts);
+    for bf16 matmuls the weight MATRICES (even indices) and x arrive in the
+    kernel as bf16 so the MXU dot is natively mixed-precision — biases stay
+    fp32 (an in-kernel f32->bf16->dot astype is folded away by Mosaic)."""
+    gammas = tuple(jnp.atleast_2d(g) for g in gammas)
+    weights = tuple(jnp.atleast_2d(w) if w.ndim == 1 else w for w in weights)
+    if mm_dt != jnp.float32:
+        weights = tuple(
+            w.astype(mm_dt) if i % 2 == 0 else w for i, w in enumerate(weights)
+        )
+        x = x.astype(mm_dt)
+    return x, gammas + weights
+
+
+def _call_fused_rows(kernel, x, consts, n_out, out_f, tile_m, interpret):
+    """Shared pallas_call plumbing: pad rows to the tile, tile the row axis,
+    keep every const whole-array in VMEM, slice the padding off the outputs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, in_dim = x.shape
+    m_pad = (-M) % tile_m
+    if m_pad:
+        x = jnp.pad(x, ((0, m_pad), (0, 0)))
+    Mp = x.shape[0]
+    vmem = dict(memory_space=pltpu.VMEM) if not interpret else {}
+    row_spec = pl.BlockSpec((tile_m, in_dim), lambda i: (i, 0), **vmem)
+    out_spec = pl.BlockSpec((tile_m, out_f), lambda i: (i, 0), **vmem)
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), **vmem)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Mp // tile_m,),
+        in_specs=[row_spec] + [full(c.shape) for c in consts],
+        out_specs=[out_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((Mp, out_f), jnp.float32)] * n_out,
+        interpret=interpret,
+    )(x, *consts)
+    if m_pad:
+        outs = tuple(o[:M] for o in outs)
+    return outs
 
 
 def _kernel(x_ref, g1_ref, g2_ref, g3_ref,
@@ -98,58 +141,17 @@ def fused_denoiser_rows(x, gammas, weights, interpret: bool = False,
     tile_m: rows per grid step; larger tiles amortize per-invocation overhead
     against VMEM (h tile is [tile_m, 128] fp32).
     """
-    from jax.experimental.pallas import tpu as pltpu
-
-    _dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
-    mm_dt = _dt[str(matmul_dtype)]
-    act_dt = _dt[str(act_dtype)]
+    mm_dt = _DTYPES[str(matmul_dtype)]
+    act_dt = _DTYPES[str(act_dtype)]
     if act_dt != jnp.float32 and mm_dt == jnp.float32:
         raise ValueError("act_dtype=bfloat16 requires matmul_dtype=bfloat16 "
                          "(the trunk dots must consume the bf16 activations)")
     kernel = functools.partial(_kernel, matmul_dtype=mm_dt, act_dtype=act_dt)
-    M, in_dim = x.shape
     F = weights[6].shape[1]
-    m_pad = (-M) % tile_m
-    if m_pad:
-        x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    Mp = x.shape[0]
-    # promote all vectors to (1, n) rows for TPU-friendly 2-D layouts
-    g1, g2, g3 = (jnp.atleast_2d(g) for g in gammas)
-    weights = tuple(jnp.atleast_2d(w) if w.ndim == 1 else w for w in weights)
-    if mm_dt != jnp.float32:
-        # weight MATRICES (even indices) arrive in the kernel as bf16 so the
-        # MXU dot is natively mixed-precision; biases stay fp32.
-        weights = tuple(
-            w.astype(mm_dt) if i % 2 == 0 else w for i, w in enumerate(weights)
-        )
-        x = x.astype(mm_dt)
-
-    vmem = dict(memory_space=pltpu.VMEM) if not interpret else {}
-    row_spec = pl.BlockSpec((tile_m, in_dim), lambda i: (i, 0), **vmem)
-    out_spec = pl.BlockSpec((tile_m, F), lambda i: (i, 0), **vmem)
-    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), **vmem)
-
-    eps, sigma = pl.pallas_call(
-        kernel,
-        grid=(Mp // tile_m,),
-        in_specs=[
-            row_spec,
-            full(g1.shape), full(g2.shape), full(g3.shape),
-            full(weights[0].shape), full(weights[1].shape),
-            full(weights[2].shape), full(weights[3].shape),
-            full(weights[4].shape), full(weights[5].shape),
-            full(weights[6].shape), full(weights[7].shape),
-            full(weights[8].shape), full(weights[9].shape),
-        ],
-        out_specs=[out_spec, out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((Mp, F), jnp.float32),
-            jax.ShapeDtypeStruct((Mp, F), jnp.float32),
-        ],
-        interpret=interpret,
-    )(x, g1, g2, g3, *weights)
-    if m_pad:
-        eps, sigma = eps[:M], sigma[:M]
+    x, consts = _prep_rows(x, gammas, weights, mm_dt)
+    eps, sigma = _call_fused_rows(
+        kernel, x, consts, n_out=2, out_f=F, tile_m=tile_m, interpret=interpret
+    )
     return eps, sigma
 
 
@@ -226,47 +228,13 @@ def fused_tmdm_rows(x, gammas, weights, interpret: bool = False,
     """x: [M, 2F] concat(y_t, y0_hat) rows -> eps [M, F].
 
     weights: (W1, b1, W2, b2, W3, b3, W4, b4)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    _dt = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
-    mm_dt = _dt[str(matmul_dtype)]
+    mm_dt = _DTYPES[str(matmul_dtype)]
     kernel = functools.partial(_tmdm_kernel, matmul_dtype=mm_dt)
-    M, in_dim = x.shape
     F = weights[6].shape[1]
-    m_pad = (-M) % tile_m
-    if m_pad:
-        x = jnp.pad(x, ((0, m_pad), (0, 0)))
-    Mp = x.shape[0]
-    g1, g2, g3 = (jnp.atleast_2d(g) for g in gammas)
-    weights = tuple(jnp.atleast_2d(w) if w.ndim == 1 else w for w in weights)
-    if mm_dt != jnp.float32:
-        weights = tuple(
-            w.astype(mm_dt) if i % 2 == 0 else w for i, w in enumerate(weights)
-        )
-        x = x.astype(mm_dt)
-
-    vmem = dict(memory_space=pltpu.VMEM) if not interpret else {}
-    row_spec = pl.BlockSpec((tile_m, in_dim), lambda i: (i, 0), **vmem)
-    out_spec = pl.BlockSpec((tile_m, F), lambda i: (i, 0), **vmem)
-    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), **vmem)
-
-    (eps,) = pl.pallas_call(
-        kernel,
-        grid=(Mp // tile_m,),
-        in_specs=[
-            row_spec,
-            full(g1.shape), full(g2.shape), full(g3.shape),
-            full(weights[0].shape), full(weights[1].shape),
-            full(weights[2].shape), full(weights[3].shape),
-            full(weights[4].shape), full(weights[5].shape),
-            full(weights[6].shape), full(weights[7].shape),
-        ],
-        out_specs=[out_spec],
-        out_shape=[jax.ShapeDtypeStruct((Mp, F), jnp.float32)],
-        interpret=interpret,
-    )(x, g1, g2, g3, *weights)
-    if m_pad:
-        eps = eps[:M]
+    x, consts = _prep_rows(x, gammas, weights, mm_dt)
+    (eps,) = _call_fused_rows(
+        kernel, x, consts, n_out=1, out_f=F, tile_m=tile_m, interpret=interpret
+    )
     return eps
 
 
