@@ -203,3 +203,36 @@ def test_sharded_window_ensemble_8dev():
     assert len(out) == 10
     assert out[0].shape == (2, 8, 1, 4)
     assert all(np.isfinite(o).all() for o in out)
+
+
+@pytest.mark.slow
+def test_sharded_fast_mpv_sweep_matches_single_chip():
+    """The multi-chip device-side MPV engine must agree exactly with the
+    single-chip fast_mpv_sweep when the block geometry and RNG stream align
+    (same padded flat batch -> same key draw shapes -> same samples)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from upgdm_tpu.eval.uncertainty import fast_mpv_sweep
+    from upgdm_tpu.models.nsdiff import NsDiffModel
+    from upgdm_tpu.parallel.data_parallel import sharded_fast_mpv_sweep
+    from upgdm_tpu.parallel.mesh import make_mesh
+
+    net_param = dict(
+        dataset_nf=1, windows=16, pred_len=8, rolling_length=4, diffusion_steps=4,
+        scaler_type=None, d_model=16, n_heads=2, e_layers=1, d_layers=1, d_ff=16,
+        p_hidden_dims=[8, 8], p_hidden_layers=2, n_z_samples=4, task_model="NsDiff",
+    )
+    model = NsDiffModel(net_param)
+    wins = np.random.default_rng(1).normal(size=(8, 2, 16, 1)).astype(np.float32)
+
+    model._rng_counter = 50
+    mpv_single, mean_single = fast_mpv_sweep(model, wins.copy(), 8, chunk_windows=8)
+
+    model._rng_counter = 50
+    mpv_shard, mean_shard = sharded_fast_mpv_sweep(
+        model, wins.copy(), 8, mesh=make_mesh(8), chunk_windows=1
+    )
+    np.testing.assert_allclose(mpv_shard, mpv_single, rtol=2e-5)
+    np.testing.assert_allclose(mean_shard, mean_single, rtol=2e-5, atol=1e-6)

@@ -22,7 +22,12 @@ import numpy as np
 
 from .mesh import NamedSharding, P, dp_sharding, make_mesh, replicated
 
-__all__ = ["make_dp_train_step", "dp_train_epoch", "sharded_window_ensemble"]
+__all__ = [
+    "make_dp_train_step",
+    "dp_train_epoch",
+    "sharded_window_ensemble",
+    "sharded_fast_mpv_sweep",
+]
 
 
 def make_dp_train_step(model, tx, mesh, select: Optional[str] = None, with_adj: bool = False):
@@ -130,3 +135,70 @@ def sharded_window_ensemble(
         pending = nxt
     drain(*pending)
     return out
+
+
+def sharded_fast_mpv_sweep(
+    model, windows_array: np.ndarray, pred_len: int, mesh=None, chunk_windows: int = 8
+):
+    """Multi-chip version of the device-side MPV engine
+    (eval/uncertainty.py::fast_mpv_sweep): the window axis is sharded over
+    'dp', each chip samples and reduces its own window shard, and only two
+    scalars per window are gathered to the host — no cross-chip collective
+    is needed because both the sample-variance and the prediction-mean
+    reductions are per-window.
+
+    Returns (mpv [n], pred_mean [n]), matching fast_mpv_sweep.
+    """
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    n, node, W, F = windows_array.shape
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    block_sz = n_dev * chunk_windows
+    dp = dp_sharding(mesh)
+    std = jnp.asarray(
+        model.scaler_std if model.scaler is not None else np.ones(F, np.float32))
+    mean = jnp.asarray(
+        model.scaler_mean if model.scaler is not None else np.zeros(F, np.float32))
+
+    # separate tiny jitted reduce, like the single-chip engine (fusing it
+    # into the sampling program makes XLA pick a worse sampling schedule);
+    # its input arrives dp-sharded, so each chip reduces locally and the
+    # [block_sz] outputs stay sharded until the host gather.
+    @jax.jit
+    def _reduce(outs, std, mean):
+        outs = outs[:, -pred_len:, :, :]  # [block*node, O, F, S]
+        outs = outs * std[None, None, :, None] + mean[None, None, :, None]
+        var = outs.var(axis=-1).reshape(block_sz, node, pred_len, F)
+        pm = outs.reshape(block_sz, node, pred_len, F, -1)
+        return var.mean(axis=(1, 2, 3)), pm.mean(axis=(1, 2, 3, 4))
+
+    def dispatch(start):
+        block = windows_array[start : start + block_sz]
+        valid = block.shape[0]
+        if valid < block_sz:
+            block = np.concatenate(
+                [block, np.repeat(block[-1:], block_sz - valid, axis=0)], axis=0
+            )
+        flat = block.reshape(block_sz * node, W, F)
+        if model.scaler is not None:
+            flat = model.scaler_transform(flat)
+        flat = jax.device_put(jnp.asarray(flat), dp)
+        outs, _ = model.evaluation_step(flat)
+        return _reduce(outs, std, mean), valid
+
+    mpv_out, mean_out = [], []
+
+    def drain(vm, valid):
+        v, m = vm
+        mpv_out.append(np.asarray(v)[:valid])
+        mean_out.append(np.asarray(m)[:valid])
+
+    pending = None  # overlap: next block computes while scalars copy out
+    for start in range(0, n, block_sz):
+        nxt = dispatch(start)
+        if pending is not None:
+            drain(*pending)
+        pending = nxt
+    drain(*pending)
+    return np.concatenate(mpv_out), np.concatenate(mean_out)
