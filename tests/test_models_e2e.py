@@ -352,3 +352,32 @@ def test_diffstg_bf16_high_timestep_parity():
     mpv32 = e32.var(axis=-1).mean()
     mpv16 = e16.var(axis=-1).mean()
     assert abs(mpv16 - mpv32) / mpv32 < 0.01
+
+
+def test_diffusionts_sample_chunk_exact():
+    """net_param["sample_chunk"] bounds the vmapped ensemble width (the
+    Langevin grad temporaries OOM at large S*B); each sample keeps its own
+    key, so the chunked ensemble equals the unchunked one exactly —
+    including a chunk size that does not divide S."""
+    import jax
+    import jax.numpy as jnp
+
+    from upgdm_tpu.models.diffusionts import DiffusionTSModel
+
+    cfg = dict(
+        dataset_nf=1, windows=24, pred_len=8, diffusion_steps=6, timesteps=12,
+        scaler_type=None, d_model=32, n_heads=2, n_layer_enc=1, n_layer_dec=2,
+        n_z_samples=10, task_model="DiffusionTS",
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 24, 1)).astype(np.float32))
+    key = jax.random.key(0)
+
+    m_full = DiffusionTSModel(cfg)
+    m_chunk = DiffusionTSModel(dict(cfg, sample_chunk=4))  # 10 = 4+4+2(pad)
+    m_chunk.params = m_full.params
+    e_full = np.asarray(jax.jit(
+        lambda p, b, k: m_full.sample_fn(p, b, k, 10))(m_full.params, x, key))
+    e_chunk = np.asarray(jax.jit(
+        lambda p, b, k: m_chunk.sample_fn(p, b, k, 10))(m_chunk.params, x, key))
+    np.testing.assert_allclose(e_chunk, e_full, atol=1e-5)

@@ -291,7 +291,25 @@ class DiffusionTSModel(DiffusionWrapperBase):
         def one_sample(k):
             return self.fast_sample_infill_fn(params, target, mask, k)
 
-        samples = jax.vmap(one_sample)(jax.random.split(key, S))  # [S, B, T, F]
+        keys = jax.random.split(key, S)
+        # net_param["sample_chunk"]: cap the vmapped ensemble width — the
+        # Langevin corrector's grad temporaries are [S_chunk*B, T, d] and OOM
+        # 16 GB HBM at S*B >= ~3200 (BENCH_DTS_SCALE.json); lax.map runs the
+        # chunks sequentially with one chunk's memory.  The chip is already
+        # compute-saturated at small batches, so chunking costs no
+        # throughput.  Same per-sample keys -> chunked == unchunked exactly.
+        chunk = self.net_param.get("sample_chunk")
+        if chunk and chunk < S:
+            n_chunks = -(-S // chunk)
+            pad = n_chunks * chunk - S
+            keys_p = jnp.concatenate([keys, keys[:pad]]) if pad else keys
+            blocks = jax.lax.map(
+                lambda ks: jax.vmap(one_sample)(ks),
+                keys_p.reshape(n_chunks, chunk),
+            )  # [n_chunks, chunk, B, T, F]
+            samples = blocks.reshape(n_chunks * chunk, *blocks.shape[2:])[:S]
+        else:
+            samples = jax.vmap(one_sample)(keys)  # [S, B, T, F]
         samples = samples[:, :, -self.pred_len :, :]
         return jnp.transpose(samples, (1, 2, 3, 0))
 
