@@ -147,10 +147,19 @@ def main(argv=None):
         r["trajectories_per_sec"] = round(per_s, 1)
         r["windows_per_hr"] = round(r["windows"] / r["steady_s"] * 3600, 1)
         print(json.dumps(r))
-    if args.only is not None and args.out.exists():
-        prev = {r["model"]: r for r in json.loads(args.out.read_text())}
-        prev.update({r["model"]: r for r in results})
-        results = list(prev.values())
+    if args.only is not None:
+        if args.out.exists():
+            prev = {r["model"]: r for r in json.loads(args.out.read_text())}
+            prev.update({r["model"]: r for r in results})
+            results = list(prev.values())
+        else:
+            # a partial report at a fresh path would read as the full
+            # four-model report downstream — make the omission loud
+            print(
+                f"WARNING: --only given but {args.out} does not exist; "
+                f"writing a PARTIAL report ({[r['model'] for r in results]} only)",
+                file=sys.stderr,
+            )
     args.out.parent.mkdir(parents=True, exist_ok=True)
     args.out.write_text(json.dumps(results, indent=2))
     print(f"report: {args.out}")

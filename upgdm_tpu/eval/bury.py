@@ -136,6 +136,16 @@ def _bind_archive_weights(model, model_path: Path) -> None:
                 f"(signature {want}) in {model_path}"
             )
         for layer, name in zip(demanders, hits):
+            # positional pairing is only trustworthy when the layer types
+            # agree: a rebuilt "lstm_1" may legitimately pair with group
+            # "lstm_14" (fresh Keras name counter), but "dense" paired with
+            # an "lstm_*" group of coincidentally equal signature would be a
+            # silent mis-bind — refuse instead.
+            if natural(layer.name)[0].rstrip("_") != natural(name)[0].rstrip("_"):
+                raise ValueError(
+                    f"Refusing shape-only bind of group {name!r} to layer "
+                    f"{layer.name!r} (base names differ) in {model_path}"
+                )
             assignment[layer.name] = leftovers.pop(name)
 
     for layer in weighted:

@@ -252,10 +252,13 @@ class NsDiffModel(DiffusionWrapperBase):
             # TPU default: bfloat16 trunk matmuls (native MXU rate, fp32
             # accumulate; activations and all posterior coefficient math stay
             # fp32) + 1024-row tiles — measured 1.37x on the bench chain with
-            # 0.085% MPV shift (BASELINE.md round-2 kernel tuning).  Set
-            # net_param["sampling_matmul_dtype"]="float32" for bit-parity
-            # with the flax denoiser; guarded in tests/test_pallas_denoiser.py.
-            mm_dtype = self.net_param.get("sampling_matmul_dtype", "bfloat16")
+            # 0.085% MPV shift (BASELINE.md round-2 kernel tuning).  The
+            # matmul dtype FOLLOWS the validated sampling_dtype unless
+            # overridden, so sampling_dtype="float32" gives bit-parity on
+            # both arms; guarded in tests/test_pallas_denoiser.py.
+            mm_dtype = self.net_param.get(
+                "sampling_matmul_dtype", jnp.dtype(self.sampling_dtype()).name
+            )
             # sampling_act_dtype="bfloat16" (run the gate/softplus/l2-norm
             # band on packed-bf16 VPU lanes) is implemented + parity-tested
             # but NOT default: the current Mosaic toolchain fails to lower

@@ -173,7 +173,11 @@ class TMDMModel(DiffusionWrapperBase):
         if use_pallas:
             from ..ops.pallas.fused_denoiser import fused_tmdm_denoiser
 
-            mm_dtype = self.net_param.get("sampling_matmul_dtype", "bfloat16")
+            # follows the validated sampling_dtype unless overridden, so
+            # sampling_dtype="float32" means bit-parity on the kernel arm too
+            mm_dtype = self.net_param.get(
+                "sampling_matmul_dtype", jnp.dtype(self.sampling_dtype()).name
+            )
             tile_m = self.net_param.get("denoiser_tile_m", 1024)
 
             def model_fn(y, t):

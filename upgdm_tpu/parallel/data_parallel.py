@@ -164,14 +164,24 @@ def sharded_fast_mpv_sweep(
     # separate tiny jitted reduce, like the single-chip engine (fusing it
     # into the sampling program makes XLA pick a worse sampling schedule);
     # its input arrives dp-sharded, so each chip reduces locally and the
-    # [block_sz] outputs stay sharded until the host gather.
-    @jax.jit
-    def _reduce(outs, std, mean):
-        outs = outs[:, -pred_len:, :, :]  # [block*node, O, F, S]
-        outs = outs * std[None, None, :, None] + mean[None, None, :, None]
-        var = outs.var(axis=-1).reshape(block_sz, node, pred_len, F)
-        pm = outs.reshape(block_sz, node, pred_len, F, -1)
-        return var.mean(axis=(1, 2, 3)), pm.mean(axis=(1, 2, 3, 4))
+    # [block_sz] outputs stay sharded until the host gather.  Cached on the
+    # model per geometry, mirroring fast_mpv_sweep's _fast_sweep_jit_cache —
+    # a per-call jit wrapper would recompile every sweep (minutes each under
+    # the remote-compile backend when /tmp/jax_cache is cold).
+    cache = model.__dict__.setdefault("_fast_sweep_jit_cache", {})
+    cache_key = ("sharded", block_sz, node, pred_len)
+    if cache_key not in cache:
+
+        @jax.jit
+        def _reduce(outs, std, mean):
+            outs = outs[:, -pred_len:, :, :]  # [block*node, O, F, S]
+            outs = outs * std[None, None, :, None] + mean[None, None, :, None]
+            var = outs.var(axis=-1).reshape(block_sz, node, pred_len, F)
+            pm = outs.reshape(block_sz, node, pred_len, F, -1)
+            return var.mean(axis=(1, 2, 3)), pm.mean(axis=(1, 2, 3, 4))
+
+        cache[cache_key] = _reduce
+    _reduce = cache[cache_key]
 
     def dispatch(start):
         block = windows_array[start : start + block_sz]
