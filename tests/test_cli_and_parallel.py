@@ -182,6 +182,32 @@ def test_dp_train_step_8dev():
     assert all(np.isfinite(losses))
 
 
+def test_maybe_init_distributed_is_noop_single_process(monkeypatch):
+    """Multi-host bootstrap (SURVEY §2.2 DDP row): without a coordinator
+    (explicit arg or env), it must be a no-op; with one, it must route the
+    args into jax.distributed.initialize exactly once."""
+    import jax
+
+    from upgdm_tpu.parallel import mesh as M
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setattr(M, "_DISTRIBUTED_INITIALIZED", False)
+    assert M.maybe_init_distributed() is False
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda **kw: calls.append(kw)
+    )
+    assert M.maybe_init_distributed("10.0.0.1:1234", 2, 0) is True
+    assert calls == [
+        {"coordinator_address": "10.0.0.1:1234", "num_processes": 2, "process_id": 0}
+    ]
+    # idempotent: a second call must not re-initialize
+    assert M.maybe_init_distributed("10.0.0.1:1234", 2, 0) is False
+    assert len(calls) == 1
+
+
 @pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     """VERDICT r2 weak #1: DP training must be numerically equivalent to the

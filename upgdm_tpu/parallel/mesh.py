@@ -11,13 +11,70 @@ Here the equivalents are JAX-native (SURVEY.md §2.2):
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "dp_sharding", "replicated", "P", "NamedSharding"]
+__all__ = [
+    "make_mesh",
+    "dp_sharding",
+    "replicated",
+    "maybe_init_distributed",
+    "P",
+    "NamedSharding",
+]
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def maybe_init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host (DDP-equivalent) bootstrap, opt-in.
+
+    The reference's DDP path is commented-out dead code
+    (train/train_diffusion_spdata_dataparallel.py DDP sketch); the JAX-native
+    equivalent needs no per-rank code changes at all — once
+    ``jax.distributed.initialize`` has run on every host, ``jax.devices()``
+    spans all hosts, ``make_mesh()`` builds a global mesh, and the existing
+    ``make_dp_train_step`` / ``sharded_fast_mpv_sweep`` programs run
+    unchanged with XLA routing the gradient psum over ICI/DCN.
+
+    Call once per process before any other JAX API, either with explicit
+    arguments or via the standard env vars (``JAX_COORDINATOR_ADDRESS``,
+    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``; on Cloud TPU pods all three
+    are auto-detected and ``maybe_init_distributed()`` with no args
+    suffices).  Returns True iff initialization was performed.
+
+    Not exercisable in this build environment: the axon tunnel exposes a
+    single-chip, single-host TPU client, and the virtual-CPU mesh used by
+    tests is single-process by construction — so this path is validated only
+    for argument plumbing (tests/test_cli_and_parallel.py) and documented
+    here for real pod deployments.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return False
+    explicit = coordinator_address is not None
+    env = any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    auto_pod = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
+    if not (explicit or env or auto_pod):
+        return False  # single-process run: nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _DISTRIBUTED_INITIALIZED = True
+    return True
 
 
 def make_mesh(
