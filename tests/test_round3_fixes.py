@@ -76,6 +76,75 @@ def test_sharded_sweep_caches_jitted_reduce():
         assert cache[k] is before[k], "jitted reduce was rebuilt on the second call"
 
 
+def test_dts_langevin_dynamic_loop_matches_unrolled():
+    """VERDICT r2 #6: the Langevin corrector moved from a lax.switch over 4
+    unrolled K-branches to ONE dynamic-bound fori_loop (cuts the compiled
+    grad-of-transformer instances per scan body from 6 to 1).  For every K
+    the loop must reproduce the unrolled fresh-Adagrad semantics exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from upgdm_tpu.models.diffusionts import DiffusionTSModel
+
+    net_param = dict(
+        dataset_nf=2, windows=16, pred_len=8, scaler_type=None,
+        d_model=16, n_heads=2, e_layers=1, d_layers=1, d_ff=16,
+        p_hidden_dims=[8, 8], p_hidden_layers=2,
+        task_model="DiffusionTS", diffusion_steps=4, timesteps=8,
+        n_layer_enc=1, n_layer_dec=2, n_z_samples=3,
+    )
+    m = DiffusionTSModel(net_param)
+    rng = np.random.default_rng(0)
+    shape = (2, 24, 2)  # [B, windows+pred, F]
+    target = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    sample = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    # the corrector update is effectively lr*sign(g), so ANY fp reassociation
+    # difference between the replica below and the model's internal loss can
+    # flip an update sign wherever the logp and infill gradient terms cancel.
+    # Use an all-False mask (infill gradient exactly zero -> the gradient is
+    # the pure logp polynomial) and a mean shifted a constant away from the
+    # sample so every gradient element is far from zero.
+    mask = jnp.zeros(shape, bool)
+    mean = sample - 2.0
+    sigma = jnp.float32(0.3)
+    t = jnp.full((shape[0],), 5, jnp.int32)
+    lr = jnp.float32(0.05)
+
+    params = m._sampling_params(m.params)
+    langevin = m._langevin_fn(params, target, mask)
+
+    # independent unrolled replica of the reference semantics
+    # (fresh Adagrad per inner iteration: update = lr*g/(sqrt(g^2)+1e-10))
+    coef = m.infill_coef
+
+    def loss(z):
+        x_start = m._output(params, z, t)
+        logp = coef * jnp.sum(jnp.mean((mean - z) ** 2 / sigma, axis=0))
+        diff = jnp.where(mask, x_start - target, 0.0) ** 2
+        infill = jnp.sum(jnp.mean(diff / jnp.mean(sigma), axis=0))
+        return logp + infill
+
+    gradf = jax.grad(loss)
+    for K in range(4):
+        got = np.asarray(jax.jit(langevin)(sample, mean, sigma, t, lr, jnp.int32(K)))
+        z = sample
+        for _ in range(K):
+            g = gradf(z)
+            z = z - lr * g / (jnp.sqrt(g * g) + 1e-10)
+        want = np.asarray(jnp.where(mask, sample, z))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        if K > 0:
+            assert not np.allclose(got, np.asarray(sample)), "loop never ran"
+
+    # masking behavior: known (mask=True) positions pass through untouched
+    mask2 = jnp.asarray(rng.random(shape) < 0.5)
+    langevin2 = m._langevin_fn(params, target, mask2)
+    got2 = np.asarray(jax.jit(langevin2)(sample, mean, sigma, t, lr, jnp.int32(2)))
+    m2 = np.asarray(mask2)
+    np.testing.assert_array_equal(got2[m2], np.asarray(sample)[m2])
+    assert not np.allclose(got2[~m2], np.asarray(sample)[~m2])
+
+
 def test_bury_shape_only_bind_refuses_cross_type(tmp_path):
     """ADVICE r2: positional shape-signature binding must not silently pair
     weight groups across layer types."""

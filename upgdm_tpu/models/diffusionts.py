@@ -195,12 +195,18 @@ class DiffusionTSModel(DiffusionWrapperBase):
         }
         return pairs, arrays
 
-    def _langevin_branches(self, params, target, partial_mask):
-        """Branch fns (K = 0..3) for ``lax.switch`` inside the scan body.
+    def _langevin_fn(self, params, target, partial_mask):
+        """One Langevin corrector for the scan body: K gradient steps via a
+        dynamic-bound ``lax.fori_loop`` (K comes in as a per-step scan array).
 
-        Each does K fresh-Adagrad gradient steps; the reference constructs a
-        new torch Adagrad *per inner iteration* (DiffusionTS.py:387), so the
-        accumulator state resets every step: update = lr*g/(sqrt(g^2)+1e-10).
+        The reference constructs a new torch Adagrad *per inner iteration*
+        (DiffusionTS.py:387), so the accumulator state resets every step:
+        update = lr*g/(sqrt(g^2)+1e-10).  A ``lax.switch`` over K=0..3
+        branches would compile 0+1+2+3 = 6 unrolled grad-of-transformer
+        instances into every scan body (the dominant share of the 806 s
+        remote compile measured in round 2, benchmarks/report.json); the
+        dynamic loop compiles exactly ONE while executing the same K
+        iterations at runtime.
         """
         coef = self.infill_coef
 
@@ -223,17 +229,15 @@ class DiffusionTSModel(DiffusionWrapperBase):
 
         grad = jax.grad(loss)
 
-        def make_branch(K):
-            def branch(sample, mean, sigma, t, lr):
-                z = sample
-                for _ in range(K):
-                    g = grad(z, mean, sigma, t)
-                    z = z - lr * g / (jnp.sqrt(g * g) + 1e-10)
-                return jnp.where(partial_mask, sample, z)
+        def langevin(sample, mean, sigma, t, lr, K):
+            def body(_, z):
+                g = grad(z, mean, sigma, t)
+                return z - lr * g / (jnp.sqrt(g * g) + 1e-10)
 
-            return branch
+            z = jax.lax.fori_loop(0, K, body, sample)
+            return jnp.where(partial_mask, sample, z)
 
-        return [make_branch(K) for K in range(4)]
+        return langevin
 
     def fast_sample_infill_fn(self, params, target, partial_mask, key):
         """Conditional DDIM infill (DiffusionTS.py:277-310) as ONE lax.scan.
@@ -246,7 +250,7 @@ class DiffusionTSModel(DiffusionWrapperBase):
         key, k0 = jax.random.split(key)
         img = jax.random.normal(k0, target.shape, target.dtype)
         B = target.shape[0]
-        branches = self._langevin_branches(params, target, partial_mask)
+        langevin = self._langevin_fn(params, target, partial_mask)
 
         def body(carry, inp):
             img, = carry
@@ -257,7 +261,7 @@ class DiffusionTSModel(DiffusionWrapperBase):
             pred_noise = D.dts_predict_noise_from_start(img, self.sched, t_b, x_start)
             pred_mean = x_start * sqrt_an + c * pred_noise
             img = pred_mean + sigma * jax.random.normal(kn, img.shape, img.dtype)
-            img = jax.lax.switch(k_id, branches, img, pred_mean, sigma, t_b, lr)
+            img = langevin(img, pred_mean, sigma, t_b, lr, k_id)
             target_t = D.dts_q_sample(
                 target, self.sched, t_b,
                 jax.random.normal(kq, target.shape, target.dtype),
