@@ -1,0 +1,184 @@
+"""Golden cross-checks for eval/ews_classic.py (VERDICT r2 missing #3).
+
+Real ewstools cannot run here (not installed; zero-egress image), so these
+tests pin our indicators to INDEPENDENT second implementations of the exact
+primitives ewstools delegates to:
+
+  - compute_var     -> pandas ``Series.rolling(w).var()``        (ewstools calls pandas)
+  - compute_auto(1) -> pandas ``rolling(w).apply(autocorr(1))``  (ewstools calls pandas)
+  - detrend Lowess  -> statsmodels ``lowess(frac, it=3)``: Cleveland 1979
+                       robustified local linear regression, replicated below
+                       with a dense O(n^2) weighted-polyfit solver (different
+                       code path from the argpartition implementation under test)
+  - sample entropy  -> SampEn(m, r=0.2*sigma, Chebyshev), replicated below
+                       with explicit template loops
+
+plus hard-coded golden vectors on a fixed seed so silent semantic drift in
+pandas/scipy or refactors of ews_classic get flagged.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from upgdm_tpu.eval import ews_classic as E
+
+
+def _series(n=120, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n, dtype=float)
+    return t, np.sin(t / 9.0) + 0.3 * rng.normal(size=n) + 0.002 * t**1.3
+
+
+def test_rolling_ar1_matches_pandas_autocorr():
+    """ewstools literal formula: rolling(w).apply(lambda x: Series(x).autocorr(1))."""
+    _, y = _series()
+    res = E.detrend(y, method="Gaussian")
+    w = int(np.floor(0.5 * len(res)))
+    want = (
+        pd.Series(res)
+        .rolling(window=w)
+        .apply(lambda x: pd.Series(x).autocorr(lag=1), raw=False)
+        .to_numpy()
+    )
+    got = E.rolling_ar1(res, 0.5)
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12, equal_nan=True)
+
+
+def test_rolling_variance_matches_pandas():
+    _, y = _series(seed=1)
+    res = E.detrend(y, method="Gaussian")
+    w = int(np.floor(0.5 * len(res)))
+    want = pd.Series(res).rolling(window=w).var().to_numpy()
+    np.testing.assert_allclose(
+        E.rolling_variance(res, 0.5), want, rtol=1e-12, equal_nan=True
+    )
+
+
+def _lowess_dense_replica(y, x, span, iters=3):
+    """Cleveland-1979 robustified LOWESS via dense weighted polyfit.
+
+    Independent of ews_classic.lowess_smooth: neighbourhoods from a full
+    sorted distance matrix, local fits via np.polyfit(w=sqrt(weights)).
+    """
+    n = len(y)
+    k = max(2, int(np.ceil(span * n)))
+    delta_w = np.ones(n)
+    out = np.empty(n)
+    for _ in range(iters + 1):
+        for j in range(n):
+            d = np.abs(x - x[j])
+            cut = np.sort(d)[k - 1]
+            tri = np.clip(1 - (d / max(cut, 1e-12)) ** 3, 0, None) ** 3
+            w = tri * delta_w
+            use = w > 0
+            if w[use].sum() <= 1e-12:
+                out[j] = y[j]
+                continue
+            if np.ptp(x[use]) < 1e-12:
+                out[j] = np.average(y[use], weights=w[use])
+                continue
+            coef = np.polyfit(x[use], y[use], deg=1, w=np.sqrt(w[use]))
+            out[j] = np.polyval(coef, x[j])
+        resid = y - out
+        s = np.median(np.abs(resid))
+        if s <= 1e-12:
+            break
+        delta_w = np.clip(1.0 - (resid / (6.0 * s)) ** 2, 0.0, None) ** 2
+    return out
+
+
+def test_lowess_matches_dense_replica():
+    t, y = _series(n=80, seed=2)
+    for span in (0.2, 0.4):
+        got = E.lowess_smooth(y, span=span, times=t)
+        want = _lowess_dense_replica(y, t, span)
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_lowess_robustification_downweights_outliers():
+    """it=3 robust passes (statsmodels default ewstools relies on) must pull
+    the fit off a spike far more than the plain 1-pass fit."""
+    t, y = _series(n=80, seed=3)
+    y_sp = y.copy()
+    y_sp[40] += 25.0
+    robust = E.lowess_smooth(y_sp, span=0.3, times=t, iters=3)
+    plain = E.lowess_smooth(y_sp, span=0.3, times=t, iters=0)
+    clean = E.lowess_smooth(y, span=0.3, times=t, iters=3)
+    err_robust = np.abs(robust - clean)[35:46].max()
+    err_plain = np.abs(plain - clean)[35:46].max()
+    assert err_robust < 0.2 * err_plain, (err_robust, err_plain)
+
+
+def _sampen_naive(seg, m=1, r_frac=0.2):
+    """Explicit-loop SampEn (template pairs, Chebyshev, no self-matches)."""
+    seg = np.asarray(seg, float)
+    n = len(seg)
+    r = r_frac * seg.std()
+    if r <= 0 or n <= m + 1:
+        return np.nan
+
+    def count(mm):
+        tot = 0
+        for i in range(n - mm + 1):
+            for j in range(i + 1, n - mm + 1):
+                if max(abs(seg[i + q] - seg[j + q]) for q in range(mm)) <= r:
+                    tot += 1
+        return tot
+
+    B, A = count(m), count(m + 1)
+    if B == 0 or A == 0:
+        return np.nan
+    return -np.log(A / B)
+
+
+def test_sample_entropy_matches_naive_loops():
+    rng = np.random.default_rng(4)
+    for n in (30, 61):
+        seg = rng.normal(size=n)
+        got = E._sample_entropy(seg, m=1, r_frac=0.2)
+        want = _sampen_naive(seg, m=1, r_frac=0.2)
+        assert got == pytest.approx(want, rel=1e-12)
+        got2 = E._sample_entropy(seg, m=2, r_frac=0.2)
+        want2 = _sampen_naive(seg, m=2, r_frac=0.2)
+        assert (np.isnan(got2) and np.isnan(want2)) or got2 == pytest.approx(want2, rel=1e-12)
+
+
+def test_compute_classic_ews_golden_vector():
+    """Fixed-seed golden values: flags silent drift in pandas/scipy semantics
+    or regressions in the detrend->rolling pipeline."""
+    t, y = _series(n=100, seed=7)
+    ews = E.compute_classic_ews(t, y, method="Gaussian", rolling_window=0.5)
+    got = np.array(
+        [
+            ews["variance"].iloc[49],
+            ews["variance"].iloc[-1],
+            ews["ar1"].iloc[49],
+            ews["ar1"].iloc[-1],
+            ews["sample-entropy-1"].iloc[49],
+            ews["sample-entropy-1"].iloc[-1],
+        ]
+    )
+    assert np.isnan(ews["variance"].iloc[47])  # first full window at index w-1=49
+    want = GOLDEN_CLASSIC_EWS
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_compute_classic_ews_lowess_golden_vector():
+    t, y = _series(n=100, seed=8)
+    ews = E.compute_classic_ews(t, y, method="Lowess", span=0.25, rolling_window=0.4)
+    got = np.array(
+        [ews["variance"].iloc[-1], ews["ar1"].iloc[-1], ews["sample-entropy-1"].iloc[-1]]
+    )
+    np.testing.assert_allclose(got, GOLDEN_CLASSIC_EWS_LOWESS, rtol=1e-9)
+
+
+# golden constants generated 2026-08-17 (pandas 3.0.3, scipy 1.17.0) by
+# evaluating the two pipelines above; regenerate deliberately by printing the
+# `got` vectors after an intentional semantic change.
+GOLDEN_CLASSIC_EWS = np.array([
+    0.3448634017629068, 0.40347060205974217, 0.7869082995084293,
+    0.8310889745433467, 2.0626344233634546, 1.7452394535931621,
+])
+GOLDEN_CLASSIC_EWS_LOWESS = np.array([
+    0.08637624480251417, -0.10308261326670319, 2.762117422372486,
+])

@@ -39,29 +39,55 @@ def gaussian_smooth(values: np.ndarray, bandwidth: float = 0.2) -> np.ndarray:
     return gaussian_filter1d(values, sigma=max(sigma, 1e-9), mode="reflect")
 
 
-def lowess_smooth(values: np.ndarray, span: float = 0.2, times=None) -> np.ndarray:
-    """Local linear regression with tricube weights (LOWESS, 1 iteration)."""
+def lowess_smooth(
+    values: np.ndarray, span: float = 0.2, times=None, iters: int = 3
+) -> np.ndarray:
+    """Robustified LOWESS (Cleveland 1979): tricube-weighted local linear
+    regression plus ``iters`` bisquare-reweighting passes.
+
+    Matches the defaults of the statsmodels ``lowess`` that ewstools
+    delegates to (``frac=span``, ``it=3``, ``delta=0``): the reference's
+    ewstools.TimeSeries.detrend(method="Lowess") is
+    real_data_analysis.py:128; robust weights are
+    ``(1 - (r/(6*median|r|))^2)^2`` clipped at 0.
+    """
     y = np.asarray(values, float)
     n = len(y)
     x = np.asarray(times, float) if times is not None else np.arange(n, dtype=float)
     k = max(2, int(np.ceil(span * n)))
-    out = np.empty(n)
     order = np.argsort(x)
     xs, ys = x[order], y[order]
-    for j, xi in enumerate(xs):
-        d = np.abs(xs - xi)
-        idx = np.argpartition(d, k - 1)[:k]
-        dmax = d[idx].max()
-        w = (1 - (d[idx] / max(dmax, 1e-12)) ** 3) ** 3
-        w = np.clip(w, 0, None)
-        xw, yw = xs[idx], ys[idx]
-        sw = w.sum()
-        xm = (w * xw).sum() / sw
-        ym = (w * yw).sum() / sw
-        cov = (w * (xw - xm) * (yw - ym)).sum()
-        var = (w * (xw - xm) ** 2).sum()
-        beta = cov / var if var > 1e-12 else 0.0
-        out[j] = ym + beta * (xi - xm)
+
+    def fit(delta_w):
+        out = np.empty(n)
+        for j, xi in enumerate(xs):
+            d = np.abs(xs - xi)
+            idx = np.argpartition(d, k - 1)[:k]
+            dmax = d[idx].max()
+            w = (1 - (d[idx] / max(dmax, 1e-12)) ** 3) ** 3
+            w = np.clip(w, 0, None) * delta_w[idx]
+            xw, yw = xs[idx], ys[idx]
+            sw = w.sum()
+            if sw <= 1e-12:
+                out[j] = ys[j]
+                continue
+            xm = (w * xw).sum() / sw
+            ym = (w * yw).sum() / sw
+            cov = (w * (xw - xm) * (yw - ym)).sum()
+            var = (w * (xw - xm) ** 2).sum()
+            beta = cov / var if var > 1e-12 else 0.0
+            out[j] = ym + beta * (xi - xm)
+        return out
+
+    delta_w = np.ones(n)
+    out = fit(delta_w)
+    for _ in range(max(0, int(iters))):
+        resid = ys - out
+        s = np.median(np.abs(resid))
+        if s <= 1e-12:
+            break
+        delta_w = np.clip(1.0 - (resid / (6.0 * s)) ** 2, 0.0, None) ** 2
+        out = fit(delta_w)
     res = np.empty(n)
     res[order] = out
     return res
