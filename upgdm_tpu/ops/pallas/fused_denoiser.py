@@ -35,6 +35,20 @@ _EPS_NORM = 1e-12
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
 
 
+def _softplus_branchfree(x):
+    """softplus(x) = max(x,0) + log1p(exp(-|x|)) without a compare/select.
+
+    ``jax.nn.softplus`` lowers through a ``where`` whose packed-bf16
+    ``arith.cmpf`` Mosaic rejects ("arith.cmpf ... vector<8x128x2xbf16>") —
+    this was THE blocker for act_dtype=bfloat16 (BASELINE.md round-2).
+    ``jnp.abs`` is a sign-bit mask and ``(x+|x|)/2`` is pure arithmetic, so
+    the whole band stays on packed VPU lanes.  Exact same function value,
+    same overflow behavior (exp(-|x|) never overflows).
+    """
+    ax = jnp.abs(x)
+    return jnp.log1p(jnp.exp(-ax)) + 0.5 * (x + ax)
+
+
 def _prep_rows(x, gammas, weights, mm_dt):
     """Shared const prep: vectors to (1, n) rows (TPU-friendly 2-D layouts);
     for bf16 matmuls the weight MATRICES (even indices) and x arrive in the
@@ -106,7 +120,13 @@ def _kernel(x_ref, g1_ref, g2_ref, g3_ref,
         # loses digits).
         out = dot(h, w_ref).astype(act_dtype)
         out = g_ref[:].astype(act_dtype) * (out + b_ref[:].astype(act_dtype))
-        out = jax.nn.softplus(out)
+        # fp32 arm keeps jax.nn.softplus for BIT-parity with the flax
+        # denoiser; the bf16 arm needs the branch-free form Mosaic can lower
+        out = (
+            jax.nn.softplus(out)
+            if act_dtype == jnp.float32
+            else _softplus_branchfree(out)
+        )
         # l2-normalize via rsqrt+mul: one multi-cycle VPU divide per element
         # becomes a mul (the norm clamp keeps torch F.normalize semantics:
         # x / max(||x||, eps) == x * rsqrt(max(||x||^2, eps^2)) for eps<<1)
