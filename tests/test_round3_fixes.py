@@ -145,6 +145,35 @@ def test_dts_langevin_dynamic_loop_matches_unrolled():
     assert not np.allclose(got2[~m2], np.asarray(sample)[~m2])
 
 
+def test_train_dtype_bf16_knob():
+    """Opt-in bf16-compute training (fp32 master weights): loss must track
+    the fp32 step closely on the same batch, and typos must raise."""
+    import jax
+
+    from upgdm_tpu.train.loop import make_train_step
+    from upgdm_tpu.train.optimizers import make_optimizer
+
+    batch = np.random.default_rng(0).normal(size=(8, 16, 1)).astype(np.float32)
+
+    def one_step(dtype):
+        model = _tiny_nsdiff(windows=12, pred_len=4, train_dtype=dtype)
+        tx = make_optimizer({"optimizer_name": "Adam", "lr": 1e-3},
+                            model.trainable_mask())
+        step = make_train_step(model, tx, None, with_adj=False)
+        params, opt = model.params, tx.init(model.params)
+        _, _, loss = step(params, opt, jnp.asarray(batch), jax.random.key(0))
+        return float(loss)
+
+    l32, l16 = one_step("float32"), one_step("bfloat16")
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / abs(l32) < 0.05, (l32, l16)
+
+    model = _tiny_nsdiff(train_dtype="bfloat17")
+    tx = make_optimizer({"optimizer_name": "Adam", "lr": 1e-3}, model.trainable_mask())
+    with pytest.raises(ValueError, match="train_dtype"):
+        make_train_step(model, tx, None, with_adj=False)
+
+
 def test_bury_shape_only_bind_refuses_cross_type(tmp_path):
     """ADVICE r2: positional shape-signature binding must not silently pair
     weight groups across layer types."""

@@ -42,11 +42,15 @@ def _softplus_branchfree(x):
     ``arith.cmpf`` Mosaic rejects ("arith.cmpf ... vector<8x128x2xbf16>") —
     this was THE blocker for act_dtype=bfloat16 (BASELINE.md round-2).
     ``jnp.abs`` is a sign-bit mask and ``(x+|x|)/2`` is pure arithmetic, so
-    the whole band stays on packed VPU lanes.  Exact same function value,
+    the whole band stays on packed VPU lanes.  ``log(1+e)`` instead of
+    ``log1p(e)`` because Mosaic also fails to legalize packed-bf16
+    ``math.log1p`` ("failed to legalize operation 'math.log1p' ...
+    vector<8x128x2xbf16>"); with e = exp(-|x|) in (0, 1] the log1p precision
+    advantage is far below bf16 resolution anyway.  Same function value,
     same overflow behavior (exp(-|x|) never overflows).
     """
     ax = jnp.abs(x)
-    return jnp.log1p(jnp.exp(-ax)) + 0.5 * (x + ax)
+    return jnp.log(1.0 + jnp.exp(-ax)) + 0.5 * (x + ax)
 
 
 def _prep_rows(x, gammas, weights, mm_dt):

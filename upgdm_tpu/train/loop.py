@@ -37,14 +37,41 @@ __all__ = ["run_training", "make_train_step"]
 
 
 def make_train_step(model, tx, select: Optional[str], with_adj: bool):
-    """Build the jitted (params, opt_state, batch[, adj], key) -> update fn."""
+    """Build the jitted (params, opt_state, batch[, adj], key) -> update fn.
+
+    net_param["train_dtype"]="bfloat16" (opt-in, default float32) runs the
+    fwd/bwd compute in bf16 with fp32 master weights — the profiled lever is
+    1.14x on the NsDiff bench geometry at 4e-4 relative loss shift
+    (BENCH_TRAIN_SPLIT.json; the step is f(x)-transformer bound).  The loss
+    value, gradients-into-Adam and weights all stay fp32 at the boundary.
+    """
+    train_dt = str(model.net_param.get("train_dtype", "float32"))
+    if train_dt not in ("float32", "bfloat16", "bf16"):
+        raise ValueError(
+            f"train_dtype={train_dt!r}: expected 'float32' or 'bfloat16'")
+    cast = train_dt != "float32"
+
+    def loss_call(p, *args, **kw):
+        if not cast:
+            return model.loss_fn(p, *args, **kw)
+        pb = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            p,
+        )
+        args = tuple(
+            a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a
+            for a in args
+        )
+        return model.loss_fn(pb, *args, **kw).astype(jnp.float32)
 
     if with_adj:
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, adj, key):
             def lf(p):
-                return model.loss_fn(p, batch, adj, key, select=select, train=True)
+                return loss_call(p, batch, adj, key, select=select, train=True)
 
             loss, grads = jax.value_and_grad(lf)(params)
             updates, new_opt_state = tx.update(grads, opt_state, params)
@@ -63,7 +90,7 @@ def make_train_step(model, tx, select: Optional[str], with_adj: bool):
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, key):
             def lf(p):
-                return model.loss_fn(p, batch, key, select=select, train=True)
+                return loss_call(p, batch, key, select=select, train=True)
 
             loss, grads = jax.value_and_grad(lf)(params)
             updates, new_opt_state = tx.update(grads, opt_state, params)
