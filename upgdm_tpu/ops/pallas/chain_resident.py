@@ -34,14 +34,21 @@ _TWO_PI = 6.283185307179586
 
 
 def _normal(shape):
-    """Standard normals via Box-Muller on pltpu.prng_random_bits."""
+    """Standard normals via Box-Muller on pltpu.prng_random_bits.
+
+    Mosaic has no uint32->float32 cast, so the bits are shifted down to 24
+    (value-preserving in int32, and 24 bits is all a float32 mantissa keeps
+    of a uniform anyway) and converted int32->float32.
+    """
     from jax.experimental.pallas import tpu as pltpu
 
     b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # u1 in (0, 1]: (bits + 1) * 2^-32 never hits 0, so log(u1) is finite
-    u1 = (b1.astype(jnp.float32) + 1.0) * (1.0 / 4294967296.0)
-    u2 = b2.astype(jnp.float32) * (1.0 / 4294967296.0)
+    v1 = jax.lax.shift_right_logical(b1, jnp.uint32(8)).astype(jnp.int32)
+    v2 = jax.lax.shift_right_logical(b2, jnp.uint32(8)).astype(jnp.int32)
+    # u1 in (0, 1]: (v+1) * 2^-24 never hits 0, so log(u1) is finite
+    u1 = (v1.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
+    u2 = v2.astype(jnp.float32) * (1.0 / 16777216.0)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
 
