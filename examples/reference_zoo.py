@@ -436,13 +436,22 @@ def render_figures(out: Path):
 
 
 def main():
+    global CORPUS_GRAPHS, REF_NET, SLBP_TOTAL
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", type=Path, default=REPO / "demo_zoo")
     ap.add_argument("--stage", choices=["data", "models", "sweep", "stats", "figures", "all"],
                     default="all")
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--plot-checks", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="plumbing test: 3 graphs, tiny nets, 1 epoch (CPU)")
     args = ap.parse_args()
+    if args.tiny:
+        CORPUS_GRAPHS = ["barabasi_albert_30_0", "erdos_renyi_50_0", "small-world_70_0"]
+        REF_NET = dict(REF_NET, d_model=16, n_heads=2, e_layers=1, d_layers=1,
+                       d_ff=16, p_hidden_dims=[8, 8], n_z_samples=8)
+        SLBP_TOTAL = "200000.0"
+        args.epochs = 1
     out = args.out_dir
     out.mkdir(parents=True, exist_ok=True)
     if args.stage in ("data", "all"):
