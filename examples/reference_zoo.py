@@ -203,6 +203,11 @@ def _corpus_windows(out: Path, system: str, windows: int, pred_len: int,
             w = np.moveaxis(w, 2, 1).reshape(-1, L, 1)
             wins.append(w)
     flat = np.concatenate(wins, axis=0).astype(np.float32)
+    # drop (near-)constant windows: SIS has an absorbing x=0 state, and a
+    # zero-variance window NaNs the NS-Transformer's per-window
+    # de-stationary normalization (std divide) during training
+    keep = flat.std(axis=(1, 2)) > 1e-6
+    flat = flat[keep]
     if len(flat) > max_windows:
         sel = np.random.default_rng(0).choice(len(flat), max_windows, replace=False)
         flat = flat[sel]
@@ -392,13 +397,14 @@ def summarize(out: Path):
     }
     for dyn, g in done.groupby("dynamic_type"):
         lead = pd.to_numeric(g["lead_time"], errors="coerce").dropna()
-        drop = pd.to_numeric(g["rel_drop_before_transition"], errors="coerce").dropna() \
-            if "rel_drop_before_transition" in g else pd.Series(dtype=float)
+        drop = pd.to_numeric(g["pre_transition_drop_percent"], errors="coerce").dropna()
+        gdrop = pd.to_numeric(g["global_drop_percent"], errors="coerce").dropna()
         res["by_dynamic"][dyn] = {
             "n": int(len(g)),
             "lead_time_positive_frac": float((lead > 0).mean()) if len(lead) else None,
             "lead_time_median": float(lead.median()) if len(lead) else None,
-            "rel_drop_median": float(drop.median()) if len(drop) else None,
+            "pre_transition_drop_percent_median": float(drop.median()) if len(drop) else None,
+            "global_drop_percent_median": float(gdrop.median()) if len(gdrop) else None,
         }
     lead_all = pd.to_numeric(done["lead_time"], errors="coerce").dropna()
     res["lead_time_positive_frac_overall"] = (
@@ -416,11 +422,13 @@ def summarize(out: Path):
 
 def render_figures(out: Path):
     figs = out / "figures"
+    slbp = ["--total-time", SLBP_TOTAL, "--d-value", SLBP_D]
+    train_end = str(float(SLBP_TOTAL) / 2)
     jobs = [
-        ("upgdm_tpu.figures.fig2_graph_generalization", []),
-        ("upgdm_tpu.figures.fig3_dynamics_transfer", []),
-        ("upgdm_tpu.figures.fig7_train_analysis", []),
-        ("upgdm_tpu.figures.fig8_train_source", []),
+        ("upgdm_tpu.figures.fig2_graph_generalization", ["--trend", "increase"]),
+        ("upgdm_tpu.figures.fig3_dynamics_transfer", ["--trend", "increase"]),
+        ("upgdm_tpu.figures.fig7_train_analysis", ["--trend", "increase"] + slbp),
+        ("upgdm_tpu.figures.fig8_train_source", slbp + ["--train-end", train_end]),
     ]
     for mod, extra in jobs:
         cmd = [sys.executable, "-m", mod,
