@@ -164,10 +164,16 @@ def gen_data(out: Path):
     for folder, (d, n) in CONTANT_SPECS.items():
         path = ds / "SLBP_model_data_contant" / folder / "SLBP_dynamic.pt"
         if not path.exists():
+            # high constant N (eutrophic runaway) needs a finer Euler step —
+            # dt=0.1 diverges to NaN at N=5; stored grid stays at 0.1
+            dt, save_every = (0.01, 10) if n > 2.0 else (0.1, 1)
             rec = simulate_slbp(
-                params={"D": d}, total_time=100000.0, burn_time=1000.0, dt=0.1,
-                seed=stable_seed(folder), constant_n=n,
+                params={"D": d}, total_time=100000.0, burn_time=1000.0, dt=dt,
+                save_every=save_every, seed=stable_seed(folder), constant_n=n,
             )
+            ys = np.asarray(rec["ys_dynamic"])
+            if not np.isfinite(ys).all():
+                raise ValueError(f"SLBP contant {folder} diverged (dt={dt})")
             save_pt(rec, path)
             log(f"SLBP contant {folder}: {rec['ys_dynamic'].shape}")
 
@@ -221,7 +227,19 @@ def _slbp_windows(record_paths, windows, pred_len, stride=None):
     for p in record_paths:
         ys = np.asarray(load_pt(p)["ys_dynamic"], np.float32)[::1000]  # st=100
         wins.append(unfold_windows(ys, L, stride))
-    return np.concatenate(wins, axis=0).astype(np.float32)
+    flat = np.concatenate(wins, axis=0).astype(np.float32)
+    # same near-constant-window guard as the corpus (high-N constant nulls
+    # can pin the SLBP state -> zero-variance windows -> NS-Transformer NaN);
+    # non-finite windows are a hard error — they mean the SIMULATION diverged
+    std = flat.std(axis=(1, 2))
+    if not np.isfinite(flat).all():
+        raise ValueError(
+            f"non-finite training windows from {record_paths} — regenerate the "
+            "record with a finer integrator (dt)")
+    keep = std > 1e-6
+    if not keep.any():
+        raise ValueError(f"all windows near-constant in {record_paths}")
+    return flat[keep]
 
 
 def _train(flat, net_param, select, records_dir, epochs, seed=0,
