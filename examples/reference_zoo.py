@@ -461,6 +461,29 @@ def render_figures(out: Path):
             log(f"rendered {mod}")
 
 
+def write_manifest(out: Path):
+    """demo_zoo/MANIFEST.json: every artifact with size + sha256, so the
+    committed tree (yamls/stats/figures) provably corresponds to the
+    uncommitted regenerable bulk (corpus, d512 binaries, caches)."""
+    import hashlib
+
+    rows = []
+    for p in sorted(out.rglob("*")):
+        if not p.is_file() or "_scratch" in p.parts:
+            continue
+        h = hashlib.sha256()
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        rows.append({
+            "path": str(p.relative_to(out)),
+            "bytes": p.stat().st_size,
+            "sha256": h.hexdigest(),
+        })
+    (out / "MANIFEST.json").write_text(json.dumps(rows, indent=1))
+    log(f"manifest: {len(rows)} artifacts")
+
+
 def main():
     global CORPUS_GRAPHS, REF_NET, SLBP_TOTAL
     ap = argparse.ArgumentParser()
@@ -489,6 +512,7 @@ def main():
         summarize(out)
     if args.stage in ("figures", "all"):
         render_figures(out)
+        write_manifest(out)
     log("zoo done")
 
 
