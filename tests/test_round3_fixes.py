@@ -189,3 +189,36 @@ def test_bury_shape_only_bind_refuses_cross_type(tmp_path):
     assert natural("lstm_1")[0].rstrip("_") == natural("lstm_14")[0].rstrip("_")
     # cross-type: must differ, which load-time now turns into a ValueError
     assert natural("dense_1")[0].rstrip("_") != natural("lstm_3")[0].rstrip("_")
+
+
+def test_nsdiff_fg_bf16_sampling_mpv_parity():
+    """fg_sampling_dtype="bfloat16" (f(x)/g(x) backbones in bf16; denoiser,
+    chain state, PRNG unchanged) keeps ensemble MPV within the 1% budget.
+    VERDICT r2 #5 — the precision risk is the NS-Transformer's de-stationary
+    tau/delta statistics; measured on TPU in benchmarks/ab_fg_bf16.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = dict(windows=40, pred_len=20, rolling_length=10,
+               diffusion_steps=20, n_z_samples=48, d_model=32)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.normal(size=(12, 40, 1)) * 0.05 + 1.0).astype(np.float32))
+    key = jax.random.key(0)
+
+    m32 = _tiny_nsdiff(**cfg)
+    m16 = _tiny_nsdiff(**cfg, fg_sampling_dtype="bfloat16")
+    m16.params = m32.params
+    e32 = np.asarray(jax.jit(
+        lambda p, b, k: m32.sample_fn(p, b, k, 48))(m32.params, x, key))
+    e16 = np.asarray(jax.jit(
+        lambda p, b, k: m16.sample_fn(p, b, k, 48))(m16.params, x, key))
+    mpv32 = e32.var(axis=-1).mean()
+    mpv16 = e16.var(axis=-1).mean()
+    assert abs(mpv16 - mpv32) / mpv32 < 0.01, (mpv32, mpv16)
+
+    # typos in the knob must raise, same as sampling_dtype
+    import pytest as _pytest
+    bad = _tiny_nsdiff(**cfg, fg_sampling_dtype="fp16")
+    with _pytest.raises(ValueError, match="fg_sampling_dtype"):
+        bad.sample_fn(bad.params, x, key)

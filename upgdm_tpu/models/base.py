@@ -101,20 +101,22 @@ class DiffusionWrapperBase:
         "float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
     }
 
-    def sampling_dtype(self, default: str = "bfloat16"):
-        """Validated net_param["sampling_dtype"] -> jnp dtype.
+    def dtype_param(self, name: str, default: str):
+        """Validated net_param[name] -> jnp dtype.
 
         Raises on unknown strings so a typo ('fp32', 'float') cannot silently
         select the wrong precision for a bit-parity run.
         """
-        s = str(self.net_param.get("sampling_dtype", default))
+        s = str(self.net_param.get(name, default))
         try:
             return self._SAMPLING_DTYPES[s]
         except KeyError:
             raise ValueError(
-                f"sampling_dtype={s!r}: expected one of "
-                f"{sorted(self._SAMPLING_DTYPES)}"
+                f"{name}={s!r}: expected one of {sorted(self._SAMPLING_DTYPES)}"
             ) from None
+
+    def sampling_dtype(self, default: str = "bfloat16"):
+        return self.dtype_param("sampling_dtype", default)
 
     @staticmethod
     def cast_sampling_tree(tree, dtype):
