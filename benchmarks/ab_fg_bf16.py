@@ -4,12 +4,13 @@
 BENCH_SPLIT.json puts fx_gx at ~0.05 s of the ~0.55 s chunk, so the ceiling
 is a few percent of the headline; the flip only happens if the ensemble MPV
 shift stays within the 1% parity budget (DSAttention's de-stationary
-tau/delta statistics are the precision risk).  Forced-sync, unique keys per
-rep.  Writes BENCH_FG_BF16.json.
+tau/delta statistics are the precision risk).  Forced-sync; every rep varies
+the computed value (key fold for the end-to-end arms, input perturbation for
+the deterministic f/g-only arm) per the tunnel value-dedupe rule in
+benchmarks/_common.py.  Writes BENCH_FG_BF16.json.
 """
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -21,33 +22,9 @@ import os  # noqa: E402
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-NODE, WINDOWS, PRED_LEN, STEPS, N_Z, CHUNK = 30, 100, 100, 20, 100, 16
-
-NET_PARAM = dict(
-    dataset_nf=1, windows=WINDOWS, pred_len=PRED_LEN, rolling_length=50,
-    diffusion_steps=STEPS, scaler_type="StandardScaler", d_model=512, n_heads=8,
-    e_layers=4, d_layers=2, d_ff=256, p_hidden_dims=[64, 64], p_hidden_layers=2,
-    n_z_samples=N_Z, parallel_sample=10, task_model="NsDiff",
-    diffusion_schedule="linear", beta_start=1e-4, beta_end=2e-2,
-    output_attention=False, dropout=0.05, factor=3, activation="gelu",
-    load_pretrain=False, freeze_pretrain=False,
+from benchmarks._common import (  # noqa: E402
+    CHUNK, N_Z, NODE, SAMPLING_NET_PARAM, WINDOWS, best_of, mpv, sync,
 )
-
-
-def sync(x):
-    import jax
-
-    np.asarray(jax.tree.leaves(x)[0].ravel()[:1])
-
-
-def best_of(fn, reps=5):
-    fn(0)
-    best = float("inf")
-    for r in range(1, reps + 1):
-        t0 = time.time()
-        fn(r)
-        best = min(best, time.time() - t0)
-    return best
 
 
 def main():
@@ -61,30 +38,37 @@ def main():
         (rng.normal(size=(CHUNK * NODE, WINDOWS, 1)) * 0.05 + 1.0).astype(np.float32))
     key = jax.random.key(0)
     results = {}
-    m32 = NsDiffModel(NET_PARAM)
+    m32 = NsDiffModel(SAMPLING_NET_PARAM)
 
     for tag, fg in (("fg_fp32", "float32"), ("fg_bf16", "bfloat16")):
-        model = NsDiffModel(dict(NET_PARAM, fg_sampling_dtype=fg))
+        model = NsDiffModel(dict(SAMPLING_NET_PARAM, fg_sampling_dtype=fg))
         model.params = m32.params
         samp = jax.jit(lambda p, b, k, m=model: m.sample_fn(p, b, k, N_Z))
         results[f"{tag}_s"] = best_of(
             lambda r: sync(samp(model.params, x, jax.random.fold_in(key, r))))
         ens = samp(model.params, x, key)
-        results[f"{tag}_mpv"] = float(np.asarray(ens).var(axis=-1).mean())
+        results[f"{tag}_mpv"] = mpv(ens)
         del ens
 
-        # f/g alone (the piece the knob actually changes)
+        # f/g alone (the piece the knob actually changes), through the
+        # model's OWN cast path so the arms can't drift from sample_fn.
+        # f/g are deterministic, so the per-rep value variation comes from
+        # perturbing the input (same shape/dtype -> no recompile).
         def fg_only(p, b, m=model):
             fg_dt = m.dtype_param("fg_sampling_dtype", "float32")
             if fg_dt != jnp.float32:
-                fp = {k: m.cast_sampling_tree(v, fg_dt) for k, v in p.items()}
+                fp = dict(p)
+                for k in ("cond_pred_model", "cond_pred_model_g"):
+                    if k in fp:
+                        fp[k] = m.cast_sampling_tree(fp[k], fg_dt)
                 b = b.astype(fg_dt)
-                return (m._apply_f(fp, b).astype(jnp.float32),
+                return (m._apply_f(fp, b, deterministic=True).astype(jnp.float32),
                         m._apply_g(fp, b).astype(jnp.float32))
-            return m._apply_f(p, b), m._apply_g(p, b)
+            return m._apply_f(p, b, deterministic=True), m._apply_g(p, b)
 
         jfg = jax.jit(fg_only)
-        results[f"{tag}_fxgx_s"] = best_of(lambda r: sync(jfg(model.params, x)))
+        results[f"{tag}_fxgx_s"] = best_of(
+            lambda r: sync(jfg(model.params, x + np.float32(r) * 1e-6)))
 
     results["speedup_end_to_end"] = results["fg_fp32_s"] / results["fg_bf16_s"]
     results["speedup_fxgx"] = results["fg_fp32_fxgx_s"] / results["fg_bf16_fxgx_s"]

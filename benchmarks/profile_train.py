@@ -16,7 +16,11 @@ Pieces timed (all at the train-bench geometry B=64 W/P=100/100 d512):
     fp32 master weights + fp32 loss reduction — the mixed-precision pattern)
   - A/B: batch-size scaling 64 -> 128 -> 256
 
-Usage: python benchmarks/profile_train.py [--reps 5] [--steps 5]
+Every timed section folds the rep index into the PRNG key (or computes a
+rep-dependent value) so no two reps fetch the same value — the tunnel's
+value-dedupe would otherwise serve cached fetches (benchmarks/_common.py).
+
+Usage: python benchmarks/profile_train.py [--reps 5]
 Writes BENCH_TRAIN_SPLIT.json at the repo root.
 """
 from __future__ import annotations
@@ -24,8 +28,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
-from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -45,21 +47,7 @@ NET_PARAM = dict(
 )
 
 
-def sync(x):
-    import jax
-
-    leaf = jax.tree.leaves(x)[0]
-    np.asarray(leaf.ravel()[:1])
-
-
-def timeit(fn, reps):
-    fn()  # warm/compile
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-    return best
+from benchmarks._common import best_of, sync  # noqa: E402
 
 
 def main():
@@ -80,9 +68,11 @@ def main():
     key = jax.random.key(0)
     split = {"backend": jax.default_backend(), "B": B, "W": W, "P": P, "d_model": 512}
 
+    # rtt measured on rep-distinct values, like every timed section below
     ready = jnp.zeros((8,), jnp.float32) + 1.0
-    sync(ready)
-    split["rtt_s"] = timeit(lambda: sync(ready), args.reps)
+    bump = jax.jit(lambda v, s: v + s)
+    sync(bump(ready, 0.0))
+    split["rtt_s"] = best_of(lambda r: sync(bump(ready, float(r))), args.reps)
 
     # ---- full train step (no donation here so reps can reuse inputs) -------
     def make_step(loss_fn):
@@ -101,18 +91,21 @@ def main():
     params0, opt0 = model.params, tx.init(model.params)
     step = make_step(fp32_loss)
 
-    def run_step(s, p, o):
-        out = s(p, o, batch, key)
+    def run_step(s, p, o, r):
+        out = s(p, o, batch, jax.random.fold_in(key, r))
         sync(out[2])
 
-    split["train_step_s"] = timeit(lambda: run_step(step, params0, opt0), args.reps)
+    split["train_step_s"] = best_of(
+        lambda r: run_step(step, params0, opt0, r), args.reps)
     split["samples_per_sec"] = B / (split["train_step_s"] - split["rtt_s"])
 
     # ---- forward only / grad only ------------------------------------------
     fwd = jax.jit(fp32_loss)
-    split["loss_fwd_s"] = timeit(lambda: sync(fwd(params0, batch, key)), args.reps)
+    split["loss_fwd_s"] = best_of(
+        lambda r: sync(fwd(params0, batch, jax.random.fold_in(key, r))), args.reps)
     vg = jax.jit(lambda p, b, k: jax.value_and_grad(fp32_loss)(p, b, k))
-    split["value_and_grad_s"] = timeit(lambda: sync(vg(params0, batch, key)[0]), args.reps)
+    split["value_and_grad_s"] = best_of(
+        lambda r: sync(vg(params0, batch, jax.random.fold_in(key, r))[0]), args.reps)
     split["optimizer_s_est"] = split["train_step_s"] - split["value_and_grad_s"]
 
     # ---- stage isolation ----------------------------------------------------
@@ -122,7 +115,9 @@ def main():
                 lambda q: model.loss_fn(q, b, k, select=s, train=True)
             )(p)
         )
-        split[f"{stage}_vg_s"] = timeit(lambda: sync(sf(params0, batch, key)[0]), args.reps)
+        split[f"{stage}_vg_s"] = best_of(
+            lambda r: sync(sf(params0, batch, jax.random.fold_in(key, r))[0]),
+            args.reps)
 
     # ---- A/B: bf16 compute (fp32 master weights, bf16 fwd/bwd) -------------
     def bf16_loss(p, b, k):
@@ -136,8 +131,8 @@ def main():
 
     step16 = make_step(bf16_loss)
     opt16 = tx.init(params0)
-    split["train_step_bf16_s"] = timeit(
-        lambda: run_step(step16, params0, opt16), args.reps
+    split["train_step_bf16_s"] = best_of(
+        lambda r: run_step(step16, params0, opt16, r), args.reps
     )
     split["samples_per_sec_bf16"] = B / (split["train_step_bf16_s"] - split["rtt_s"])
     l32 = float(fwd(params0, batch, key))
@@ -154,11 +149,11 @@ def main():
         stepb = make_step(fp32_loss)
         optb = tx.init(params0)
 
-        def runb():
-            out = stepb(params0, optb, big, key)
+        def runb(r):
+            out = stepb(params0, optb, big, jax.random.fold_in(key, r))
             sync(out[2])
 
-        t = timeit(runb, args.reps)
+        t = best_of(runb, args.reps)
         split[f"train_step_B{bs}_s"] = t
         split[f"samples_per_sec_B{bs}"] = bs / (t - split["rtt_s"])
 

@@ -280,7 +280,10 @@ def train_models(out: Path, epochs: int):
         graph_t = ews / "ews_generalization/graph" / system
         dyn_t = ews / "ews_generalization/dynamic" / system
         stats_t = ews / "model_compare/NsDiff" / system
-        if (stats_t / "model_trained").exists():
+        # resume only when ALL THREE install targets exist — a partially
+        # deleted tree (e.g. ews_generalization removed, model_compare kept)
+        # must retrain so fig2/fig3 don't render from a stale/absent model
+        if all((t / "model_trained").exists() for t in (graph_t, dyn_t, stats_t)):
             continue
         flat = _corpus_windows(out, system, 100, 100, TRAINED_ON_TOPOLOGY)
         dataset_param = dict(
@@ -438,7 +441,7 @@ def summarize(out: Path):
 # stage: figures (2/3/8 from the new zoo)
 # ===========================================================================
 
-def render_figures(out: Path):
+def render_figures(out: Path) -> int:
     figs = out / "figures"
     slbp = ["--total-time", SLBP_TOTAL, "--d-value", SLBP_D]
     train_end = str(float(SLBP_TOTAL) / 2)
@@ -448,6 +451,7 @@ def render_figures(out: Path):
         ("upgdm_tpu.figures.fig7_train_analysis", ["--trend", "increase"] + slbp),
         ("upgdm_tpu.figures.fig8_train_source", slbp + ["--train-end", train_end]),
     ]
+    failed = 0
     for mod, extra in jobs:
         cmd = [sys.executable, "-m", mod,
                "--ews-root", str(out / "ews_results"),
@@ -456,9 +460,11 @@ def render_figures(out: Path):
         log("render " + mod)
         r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
         if r.returncode != 0:
+            failed += 1
             log(f"FIGURE FAILED {mod}:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
         else:
             log(f"rendered {mod}")
+    return failed
 
 
 def write_manifest(out: Path):
@@ -469,8 +475,8 @@ def write_manifest(out: Path):
 
     rows = []
     for p in sorted(out.rglob("*")):
-        if not p.is_file() or "_scratch" in p.parts:
-            continue
+        if not p.is_file() or "_scratch" in p.parts or p.name == "MANIFEST.json":
+            continue  # never hash a prior run's manifest into the new one
         h = hashlib.sha256()
         with open(p, "rb") as fh:
             for chunk in iter(lambda: fh.read(1 << 20), b""):
@@ -510,9 +516,13 @@ def main():
     if args.stage in ("sweep", "stats", "all"):
         run_stats(out, plot_checks=args.plot_checks)
         summarize(out)
+    failed = 0
     if args.stage in ("figures", "all"):
-        render_figures(out)
+        failed = render_figures(out)
         write_manifest(out)
+    if failed:
+        log(f"zoo INCOMPLETE: {failed} figure(s) failed to render")
+        sys.exit(1)
     log("zoo done")
 
 

@@ -98,3 +98,29 @@ def test_chain_kernel_padding_path():
     assert np.isfinite(np.asarray(out)).all()
     want = np.asarray(_zero_noise_reference(m, y0_hat, gx))
     np.testing.assert_allclose(np.asarray(out)[..., 0], want, rtol=2e-5, atol=2e-6)
+
+
+def test_chain_kernel_bf16_act_interpret_parity():
+    """act_dtype="bfloat16" checked in interpret mode (CLAUDE.md: never
+    compare two kernels that differ only inside pallas_call by on-TPU
+    outputs — the tunnel's value-dedupe hash ignores the Mosaic payload).
+    Zero-noise chain, loose bf16 tolerance over the 20-step recursion."""
+    m = _tiny_model()
+    rng = np.random.default_rng(2)
+    x = jnp.asarray((rng.normal(size=(4, 40, 1)) * 0.05 + 1.0).astype(np.float32))
+    y0_hat = jax.jit(lambda p, b: m._apply_f(p, b))(m.params, x)
+    gx = jax.jit(lambda p, b: m._apply_g(p, b))(m.params, x) + 1e-7
+
+    kw = dict(seed=0, n_z_samples=1, interpret=True, noise_mode="zero",
+              matmul_dtype="float32", tile_m=64)
+    got32 = np.asarray(fused_nsdiff_chain(
+        m.params["model"], y0_hat, gx, m.sched, act_dtype="float32", **kw))
+    got16 = np.asarray(fused_nsdiff_chain(
+        m.params["model"], y0_hat, gx, m.sched, act_dtype="bfloat16", **kw))
+    # bf16 activations genuinely change the numerics (guards against the
+    # knob silently running fp32) ...
+    assert np.abs(got16 - got32).max() > 0
+    # ... but stay within a bf16-accumulation budget of the fp32 chain
+    scale = np.abs(got32).mean()
+    assert np.abs(got16 - got32).mean() / scale < 0.05, (
+        np.abs(got16 - got32).mean() / scale)

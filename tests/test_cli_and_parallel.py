@@ -207,6 +207,26 @@ def test_maybe_init_distributed_is_noop_single_process(monkeypatch):
     assert M.maybe_init_distributed("10.0.0.1:1234", 2, 0) is False
     assert len(calls) == 1
 
+    # rank/world-size args WITHOUT a coordinator address must still opt in
+    # (on TPU pods the address is auto-detected) — not silently no-op
+    monkeypatch.setattr(M, "_DISTRIBUTED_INITIALIZED", False)
+    calls.clear()
+    assert M.maybe_init_distributed(num_processes=4, process_id=2) is True
+    assert calls == [
+        {"coordinator_address": None, "num_processes": 4, "process_id": 2}
+    ]
+
+    # env vars must reach initialize as explicit args (jax does not read them)
+    monkeypatch.setattr(M, "_DISTRIBUTED_INITIALIZED", False)
+    calls.clear()
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.9:999")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    assert M.maybe_init_distributed() is True
+    assert calls == [
+        {"coordinator_address": "10.0.0.9:999", "num_processes": 2, "process_id": 1}
+    ]
+
 
 @pytest.mark.slow
 def test_dp_train_step_matches_single_device():

@@ -395,7 +395,9 @@ def fast_mpv_sweep(
     # cache the jitted reduce per (chunk, node, pred_len) on the model —
     # rebuilding the jit wrapper per call would recompile inside the sweep
     cache = model.__dict__.setdefault("_fast_sweep_jit_cache", {})
-    cache_key = (chunk, node, pred_len)
+    # F in the key: the reshape below bakes in the feature dim, so a sweep
+    # with a different trailing dim must not reuse the cached closure
+    cache_key = (chunk, node, pred_len, F)
     if cache_key not in cache:
 
         @jax.jit

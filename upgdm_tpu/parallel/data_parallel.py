@@ -169,7 +169,7 @@ def sharded_fast_mpv_sweep(
     # a per-call jit wrapper would recompile every sweep (minutes each under
     # the remote-compile backend when /tmp/jax_cache is cold).
     cache = model.__dict__.setdefault("_fast_sweep_jit_cache", {})
-    cache_key = ("sharded", block_sz, node, pred_len)
+    cache_key = ("sharded", block_sz, node, pred_len, F)
     if cache_key not in cache:
 
         @jax.jit

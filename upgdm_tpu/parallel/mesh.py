@@ -60,13 +60,24 @@ def maybe_init_distributed(
     global _DISTRIBUTED_INITIALIZED
     if _DISTRIBUTED_INITIALIZED:
         return False
-    explicit = coordinator_address is not None
-    env = any(
-        os.environ.get(k)
-        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    # jax.distributed.initialize does NOT read these env vars itself — fold
+    # them into the explicit arguments so the documented env-var path actually
+    # reaches the coordinator setup.
+    if coordinator_address is None:
+        coordinator_address = os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"
+        ) or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    # ANY explicit arg opts in (on Cloud TPU pods the coordinator address is
+    # auto-detected, so num_processes/process_id alone must not silently no-op).
+    explicit = any(
+        a is not None for a in (coordinator_address, num_processes, process_id)
     )
     auto_pod = os.environ.get("TPU_WORKER_HOSTNAMES") is not None
-    if not (explicit or env or auto_pod):
+    if not (explicit or auto_pod):
         return False  # single-process run: nothing to do
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
