@@ -133,6 +133,7 @@ def nsdiff_p_sample_loop(
     sched,
     key: jax.Array,
     use_gx_directly: bool = False,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Full NsDiff reverse chain as a single ``lax.scan``.
 
@@ -140,6 +141,12 @@ def nsdiff_p_sample_loop(
     (nsdiff_utils.py:271-284).  ``use_gx_directly=True`` selects the ``_pe``
     variant that replaces the quadratic solve with gx (nsdiff_utils.py:163-206).
     Returns the final y_0 reparameterisation (p_sample_t_1to0:209-239).
+
+    ``unroll`` replicates the scan body (lax.scan's knob) so XLA can fuse the
+    elementwise tail of step i with the head of step i+1; measured on the
+    bench chain in benchmarks/ab_scan_unroll.py — keep 1 unless that A/B says
+    otherwise (compile time scales with the unroll factor on the
+    remote-compile backend).
     """
     n_steps = int(jnp.asarray(sched.alphas).shape[0])
     y_T_mean = y_0_hat
@@ -167,7 +174,7 @@ def nsdiff_p_sample_loop(
 
     ts = jnp.arange(n_steps - 1, 0, -1)
     keys = jax.random.split(key, n_steps - 1)
-    (cur_y,), _ = jax.lax.scan(step, (cur_y,), (ts, keys))
+    (cur_y,), _ = jax.lax.scan(step, (cur_y,), (ts, keys), unroll=unroll)
 
     # final step t=0 -> y_0 (deterministic reparameterisation)
     t0 = jnp.asarray(0, dtype=jnp.int32)

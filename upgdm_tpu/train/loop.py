@@ -41,7 +41,7 @@ def make_train_step(model, tx, select: Optional[str], with_adj: bool):
 
     net_param["train_dtype"]="bfloat16" (opt-in, default float32) runs the
     fwd/bwd compute in bf16 with fp32 master weights — the profiled lever is
-    1.14x on the NsDiff bench geometry at 4e-4 relative loss shift
+    1.07x on the NsDiff bench geometry at 4e-4 relative loss shift
     (BENCH_TRAIN_SPLIT.json; the step is f(x)-transformer bound).  The loss
     value, gradients-into-Adam and weights all stay fp32 at the boundary.
     """
