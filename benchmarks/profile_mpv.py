@@ -4,8 +4,12 @@
 The bench headline (bench.py) is fast_mpv_sweep at CHUNK windows per dispatch.
 One chunk = f(x) + g(x) once per window, a 100-sample x 20-step reverse scan,
 and an on-device variance/mean reduction.  This script times each piece in
-isolation (best-of-N, block_until_ready) so optimization effort lands where
+isolation (best-of-N, forced-sync) so optimization effort lands where
 the time actually goes — VERDICT r1 weak-6 asked for exactly this split.
+
+Every timed section computes a rep-distinct value (key fold / input
+perturbation) so the tunnel's value-dedupe cannot serve cached fetches
+(benchmarks/_common.py).
 
 Usage:  python benchmarks/profile_mpv.py [--reps 5] [--chunk 16] [--flax]
 Writes BENCH_SPLIT.json at the repo root.
@@ -13,7 +17,6 @@ Writes BENCH_SPLIT.json at the repo root.
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 import numpy as np
@@ -42,29 +45,7 @@ NET_PARAM = dict(
 )
 
 
-def timeit(fn, reps):
-    """Best-of-reps wall time.
-
-    NOTE (axon tunnel backend): block_until_ready does NOT actually block —
-    dispatch returns in ~100us and completion is only observable via a
-    device->host transfer.  Every fn here must therefore end by pulling at
-    least one element to the host; subtract `rtt_s` for the pure device time.
-    """
-    fn()  # warm (compile)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-    return best
-
-
-def sync(x):
-    """Force completion: pull one element of (a leaf of) x to the host."""
-    import jax
-
-    leaf = jax.tree.leaves(x)[0]
-    np.asarray(leaf.ravel()[:1])
+from benchmarks._common import best_of, sync  # noqa: E402
 
 
 def main():
@@ -89,18 +70,22 @@ def main():
     split = {"backend": jax.default_backend(), "chunk": chunk,
              "rows": chunk * NODE, "n_z": N_Z, "steps": STEPS}
 
-    # ---- tunnel RTT: transfer one element of an already-ready array --------
+    # ---- tunnel RTT: dispatch+fetch of a trivial rep-distinct value --------
     ready = jnp.zeros((8,), jnp.float32) + 1.0
-    sync(ready)
-    split["rtt_s"] = timeit(lambda: sync(ready), args.reps)
+    bump = jax.jit(lambda v, s: v + s)
+    sync(bump(ready, 0.0))
+    split["rtt_s"] = best_of(lambda r: sync(bump(ready, float(r))), args.reps)
 
-    # ---- f(x) + g(x) alone -------------------------------------------------
+    # ---- f(x) + g(x) alone (deterministic: perturb the input per rep) ------
     fg = jax.jit(lambda p, b: (model._apply_f(p, b), model._apply_g(p, b)))
-    split["fx_gx_s"] = timeit(lambda: sync(fg(model.params, x)), args.reps)
+    split["fx_gx_s"] = best_of(
+        lambda r: sync(fg(model.params, x + np.float32(r) * 1e-6)), args.reps)
 
     # ---- full sampling program (as benched: evaluation_step body) ----------
     samp = jax.jit(lambda p, b, k: model.sample_fn(p, b, k, N_Z))
-    split["sample_full_s"] = timeit(lambda: sync(samp(model.params, x, key)), args.reps)
+    split["sample_full_s"] = best_of(
+        lambda r: sync(samp(model.params, x, jax.random.fold_in(key, r))),
+        args.reps)
 
     # ---- the on-device reduction -------------------------------------------
     outs = samp(model.params, x, key)
@@ -115,7 +100,9 @@ def main():
         pm = o.reshape(chunk, NODE, PRED_LEN, 1, -1)
         return var.mean(axis=(1, 2, 3)), pm.mean(axis=(1, 2, 3, 4))
 
-    split["reduce_s"] = timeit(lambda: sync(reduce_(outs, std, mean)), args.reps)
+    split["reduce_s"] = best_of(
+        lambda r: sync(reduce_(outs, std * (1.0 + np.float32(r) * 1e-6), mean)),
+        args.reps)
 
     # ---- chain-only (sampling minus the f/g preamble, by subtraction) ------
     split["chain_only_s_est"] = split["sample_full_s"] - split["fx_gx_s"]
@@ -125,16 +112,17 @@ def main():
         model_flax = NsDiffModel(dict(NET_PARAM, use_pallas_denoiser=False))
         model_flax.params = model.params
         samp_flax = jax.jit(lambda p, b, k: model_flax.sample_fn(p, b, k, N_Z))
-        split["sample_full_flax_s"] = timeit(
-            lambda: sync(samp_flax(model.params, x, key)), args.reps)
+        split["sample_full_flax_s"] = best_of(
+            lambda r: sync(samp_flax(model.params, x, jax.random.fold_in(key, r))),
+            args.reps)
 
     # ---- host-visible end-to-end (dispatch + transfer of the two scalars) --
-    def end_to_end():
-        o = samp(model.params, x, key)
+    def end_to_end(r):
+        o = samp(model.params, x, jax.random.fold_in(key, r))
         v, m = reduce_(o, std, mean)
         np.asarray(v), np.asarray(m)
 
-    split["end_to_end_s"] = timeit(end_to_end, args.reps)
+    split["end_to_end_s"] = best_of(end_to_end, args.reps)
     split["dispatch_overhead_s_est"] = (
         split["end_to_end_s"] - split["sample_full_s"] - split["reduce_s"])
     split["windows_per_hr_end_to_end"] = chunk / split["end_to_end_s"] * 3600.0
