@@ -9,9 +9,15 @@ run the MPV-collapse statistics over the full corpus and re-render figures
 
 Corpus scale vs the reference: the reference generation grid is 119 graphs x
 2 trends x ~6 physics combos per dynamics (dataset/spdata_sde_*_gene.py
-__main__); here each dynamics uses 12 graphs (3 topology types x {30,100}
-nodes x 2 seeds) x 2 trends x 1 physics combo — documented subsampling, same
-layout/filename conventions, every trajectory genuinely simulated.
+__main__); here each dynamics uses 60 graphs (3 topology types x all 4
+library node counts {30,50,70,100} x 5 seeds — half the 120-graph library) x
+2 trends x 1 physics combo = 360 corpus trajectories, documented
+subsampling, same layout/filename conventions, every trajectory genuinely
+simulated.  (The first zoo run used 12 graphs/72 trajectories; the corpus
+statistics were then re-run at this 5x scale.  The trained models are
+unchanged — generalization trains on the barabasi_albert subset and
+evaluates corpus-wide, so extending the evaluation corpus requires no
+retraining.)
 
 Stages (idempotent):
     python examples/reference_zoo.py --out-dir demo_zoo --stage data    # CPU
@@ -50,18 +56,15 @@ from upgdm_tpu.utils.io import load_pt, save_pt
 T0 = time.time()
 GRAPH_LIB = REPO / "dataset" / "train_dataset_graph"
 
-# 12 graphs per dynamics: all 3 reference topology types, both ends of the
-# reference node-count range, 2 seeds each.  The smaller size per type is the
-# one figs 2/3 hard-code (common.py graph_name: BA_30 / ER_50 / WS_70).
+# 60 graphs per dynamics: all 3 reference topology types x all 4 library
+# node counts x 5 seeds (half the committed 120-graph library).  The sizes
+# figs 2/3 hard-code (common.py graph_name: BA_30 / ER_50 / WS_70) are all
+# included.
 CORPUS_GRAPHS = [
     f"{gtype}_{n}_{seed}"
-    for gtype, sizes in (
-        ("barabasi_albert", (30, 100)),
-        ("erdos_renyi", (50, 100)),
-        ("small-world", (70, 100)),
-    )
-    for n in sizes
-    for seed in (0, 1)
+    for gtype in ("barabasi_albert", "erdos_renyi", "small-world")
+    for n in (30, 50, 70, 100)
+    for seed in range(5)
 ]
 TRENDS = ("increase", "decrease")
 
@@ -386,8 +389,8 @@ def train_models(out: Path, epochs: int):
 
 def run_stats(out: Path, plot_checks: bool = False):
     """mpv_collapse over the full corpus: the gx-MPV of the per-dynamics
-    d512 models scanned over all 72 trajectories (mpv_collapse_summary.py
-    corpus loop :162-189)."""
+    d512 models scanned over every corpus trajectory (360 at the current
+    60-graph scale; mpv_collapse_summary.py corpus loop :162-189)."""
     from upgdm_tpu.figures import mpv_collapse as M
 
     argv = [

@@ -222,3 +222,29 @@ def test_nsdiff_fg_bf16_sampling_mpv_parity():
     bad = _tiny_nsdiff(**cfg, fg_sampling_dtype="fp16")
     with _pytest.raises(ValueError, match="fg_sampling_dtype"):
         bad.sample_fn(bad.params, x, key)
+
+
+def test_zoo_manifest_excludes_scratch_and_self(tmp_path):
+    """reference_zoo.write_manifest must not hash _scratch bulk or a prior
+    run's MANIFEST.json into the new manifest (idempotent re-runs)."""
+    import json
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import reference_zoo as Z
+
+    (tmp_path / "figures").mkdir()
+    (tmp_path / "figures" / "fig2.png").write_bytes(b"png")
+    (tmp_path / "_scratch" / "deep").mkdir(parents=True)
+    (tmp_path / "_scratch" / "deep" / "trace.json").write_text("{}")
+    (tmp_path / "MANIFEST.json").write_text("[]")  # stale prior manifest
+
+    Z.write_manifest(tmp_path)
+    rows = json.loads((tmp_path / "MANIFEST.json").read_text())
+    paths = {r["path"] for r in rows}
+    assert paths == {"figures/fig2.png"}
+
+    # re-run converges to a fixed point (same rows, no self-entry)
+    Z.write_manifest(tmp_path)
+    assert json.loads((tmp_path / "MANIFEST.json").read_text()) == rows
