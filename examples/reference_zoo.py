@@ -186,11 +186,13 @@ def gen_data(out: Path):
 # ===========================================================================
 
 def _corpus_windows(out: Path, system: str, windows: int, pred_len: int,
-                    topology: str, max_windows: int = 6000):
+                    topology: str, max_windows: int = 6000,
+                    stride: int = None):
     """Per-node univariate [n, W+P, 1] training windows from the trained-on
     topology's corpus records (reference generalization data prep:
     pre_DataSet_spdata flattens node series into independent windows —
-    utils.py:310)."""
+    utils.py:310).  topology="" matches every corpus graph (the reference
+    model_compare configs train with filter '*')."""
     ds = out / "dataset"
     L = windows + pred_len
     wins = []
@@ -208,7 +210,7 @@ def _corpus_windows(out: Path, system: str, windows: int, pred_len: int,
             if ys.shape[0] < L:
                 continue
             # [T, node] -> windows per node: [n_win, L, node] -> [n*node, L, 1]
-            w = unfold_windows(ys, L, max(10, L // 10))
+            w = unfold_windows(ys, L, stride or max(10, L // 10))
             w = np.moveaxis(w, 2, 1).reshape(-1, L, 1)
             wins.append(w)
     flat = np.concatenate(wins, axis=0).astype(np.float32)
@@ -246,7 +248,8 @@ def _slbp_windows(record_paths, windows, pred_len, stride=None):
 
 
 def _train(flat, net_param, select, records_dir, epochs, seed=0,
-           dataset_param=None, task_model="NsDiff", batch=256):
+           dataset_param=None, task_model="NsDiff", batch=256,
+           loss_metric="KL divergence", lr=1e-3, scheduler_set=True):
     perm = np.random.default_rng(seed).permutation(len(flat))
     batch = min(batch, max(8, len(flat) // 4))
     n_train = max(batch, int(len(flat) * 0.9))
@@ -256,10 +259,10 @@ def _train(flat, net_param, select, records_dir, epochs, seed=0,
         dict(train_model_select=select, train_batch_size=batch,
              val_batch_size=batch, train_epochs=epochs, test_set=True, ckpt=False),
         dict(net_param, task_model=task_model),
-        {"loss_metric": "KL divergence"},
+        {"loss_metric": loss_metric},
         # reference optimizer block: Adam + MultiStepLR(milestones=[10], 0.1)
-        dict(optimizer_name="Adam", lr=1e-3, weight_decay=1e-5,
-             scheduler="MultiStepLR", scheduler_set=True,
+        dict(optimizer_name="Adam", lr=lr, weight_decay=1e-5,
+             scheduler="MultiStepLR", scheduler_set=scheduler_set,
              MstepLR_milestones=[10], MstepLR_gamma=0.1),
         records_dir, seed=seed, dataset_param=dataset_param,
     )
@@ -324,6 +327,11 @@ def train_models(out: Path, epochs: int):
     for w in (200, 500, 1000):
         bank_jobs.append(("NsDiff_windows", f"dataset__w{w}p200st100", w, 200,
                           "NsDiff_model"))
+    # pred-length sweep (fig4's NsDiff_pred tree — model_sensitivity_
+    # experiment.py:67); w200p200 is shared with the window sweep below
+    for p in (500, 1000):
+        bank_jobs.append(("NsDiff_pred", f"dataset__w200p{p}st100", 200, p,
+                          "NsDiff_model"))
     for root, name, w, p, select in bank_jobs:
         target = ews / root / "models"
         if (target / name).exists():
@@ -336,6 +344,17 @@ def train_models(out: Path, epochs: int):
                          dataset_param=slbp_dsp(w, p), batch=64)
         _install(trained, target, name)
         log(f"trained {root}/models/{name} at d512 ({len(flat)} windows)")
+
+    # NsDiff_pred shares its w200p200 anchor with the window sweep (identical
+    # config + data; the reference ships its own copy under both trees)
+    pred_anchor = ews / "NsDiff_pred" / "models" / "dataset__w200p200st100"
+    win_anchor = ews / "NsDiff_windows" / "models" / "dataset__w200p200st100"
+    if win_anchor.exists() and not pred_anchor.exists():
+        pred_anchor.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(win_anchor, pred_anchor)
+        shutil.copy(win_anchor.with_suffix(".yaml"),
+                    pred_anchor.with_suffix(".yaml"))
+        log("aliased NsDiff_windows w200p200 into NsDiff_pred")
 
     # ablation variants (wo_gx/wo_fx/wo_UANS — fig7 machine panels)
     for folder, select in (("wo_gx", "cond_mean"), ("wo_fx", "cond_var"),
@@ -381,6 +400,133 @@ def train_models(out: Path, epochs: int):
                          task_model="NsDiff_model_variants", batch=64)
         _install(trained, target)
         log(f"trained NsDiff_dataset_contant/{folder} at d512 ({len(flat)} windows)")
+
+
+# ===========================================================================
+# stage: compare (TPU) — the 4-family model_compare tree behind paper Fig. 1
+# ===========================================================================
+
+# Reference net dims, verbatim from the shipped model_compare yamls
+# (ews_results/model_compare/<family>/SIS/model_trained.yaml).  NsDiff's
+# model_compare entry is trained by the models stage (d512, shared with the
+# generalization trees); these are the other three families.
+COMPARE_NETS = {
+    "TMDM": dict(
+        task_model="TMDM", dataset_nf=1, windows=100, pred_len=100,
+        scaler_type="StandardScaler", d_model=64, n_heads=4, e_layers=2,
+        d_layers=1, d_ff=128, dropout=0.05, activation="gelu", factor=3,
+        output_attention=False, p_hidden_dims=[64, 64], p_hidden_layers=2,
+        diffusion_steps=20, beta_schedule="linear", beta_start=1e-4,
+        beta_end=2e-2, k_z=0.01, k_cond=1.0, d_z=64,
+        CART_input_x_embed_dim=64, n_z_samples=100, parallel_sample=10,
+        load_pretrain=False, freeze_pretrain=False),
+    "DiffusionTS": dict(
+        task_model="DiffusionTS", dataset_nf=1, windows=100, pred_len=100,
+        scaler_type="StandardScaler", d_model=64, n_heads=4, n_layer_enc=3,
+        n_layer_dec=6, mlp_hidden_times=4, timesteps=100, diffusion_steps=100,
+        beta_schedule="cosine", loss_type="l2", eta=0.0, attn_pd=0.0,
+        resid_pd=0.0, use_ff=True, infill_coef=0.1, infill_learning_rate=0.05,
+        n_z_samples=100, parallel_sample=10),
+    "DiffSTG": dict(
+        task_model="DiffSTG", dataset_nf=1, windows=100, pred_len=100,
+        F=1, T_h=100, T_p=100, scaler_type="StandardScaler", d_h=4, Td_h=10,
+        channel_multipliers=[2, 2], n_blocks=2, diffusion_schedule="linear",
+        diffusion_steps=200, inference_diffusion_steps=20,
+        inference_schedule="cosine", inference_trick="ddim",
+        loss_weight_schedule="constant", mask_ratio=0.0,
+        parallel_sampling=10, sequential_sampling=10,
+        gnn_name="ResGatedGraphConv", gnn_param=dict(bias=True, root_weight=True)),
+}
+# reference train blocks: epochs / loss / lr per family
+COMPARE_TRAIN = {
+    "TMDM": dict(epochs=50, loss="TMDM loss", lr=1e-4, max_windows=4000,
+                 batch=512),
+    "DiffusionTS": dict(epochs=100, loss="DiffusionTS loss", lr=1e-3,
+                        max_windows=1024, batch=256),
+    "DiffSTG": dict(epochs=20, loss="KL divergence", lr=1e-4, batch=16),
+}
+
+
+def _train_spatial(x, adjs, gids, net_param, records_dir, epochs, seed=0,
+                   dataset_param=None, batch=16, lr=1e-4):
+    """DiffSTG training on dense mixed-topology batches (the reference's
+    main_SSLtrain_diffusion_spdata grid body, hold_out split)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(x))
+    batch = min(batch, max(4, len(x) // 4))
+    n_train = max(batch, int(len(x) * 0.8))
+    tr = perm[:n_train]
+    va = perm[n_train:] if n_train < len(x) else perm[:4]
+    run_training(
+        x[tr], x[va],
+        dict(train_model_select=None, train_batch_size=batch,
+             val_batch_size=batch, train_epochs=epochs, test_set=True,
+             ckpt=False),
+        net_param,
+        {"loss_metric": "KL divergence"},
+        dict(optimizer_name="Adam", lr=lr, weight_decay=1e-5,
+             scheduler="MultiStepLR", scheduler_set=False,
+             MstepLR_milestones=[50], MstepLR_gamma=0.1),
+        records_dir, adj=(adjs, gids[tr], gids[va]), seed=seed,
+        dataset_param=dataset_param,
+    )
+    return Path(records_dir) / "trained_model"
+
+
+def train_compare_models(out: Path):
+    """Train DiffSTG / DiffusionTS / TMDM per dynamics at the reference
+    model_compare dims and install them beside the models-stage NsDiff —
+    the full FIG1_MODELS tree ("diffusion mdoel compare_experiment.py":29)."""
+    from upgdm_tpu.utils.data_prep import pre_dataset_spdata
+
+    ews = out / "ews_results"
+    scratch = out / "_scratch"
+    ds = out / "dataset"
+    for system, cfg in SYSTEMS.items():
+        # --- flat families: per-node univariate windows over ALL topologies
+        for fam in ("TMDM", "DiffusionTS"):
+            target = ews / "model_compare" / fam / system
+            if (target / "model_trained").exists():
+                continue
+            tp = COMPARE_TRAIN[fam]
+            flat = _corpus_windows(out, system, 100, 100, topology="",
+                                   max_windows=tp["max_windows"], stride=100)
+            dataset_param = dict(
+                file_path=str(ds / f"spdata_sde_{system}"), filter="*",
+                windows=100, pred_len=100, interval_step=100,
+                sampling_t=cfg["sampling_t"], STG_exist=True)
+            trained = _train(
+                flat, COMPARE_NETS[fam], None,
+                scratch / f"compare_{fam}_{system}", tp["epochs"],
+                seed=stable_seed("compare", fam, system),
+                dataset_param=dataset_param, task_model=fam,
+                batch=tp["batch"], loss_metric=tp["loss"], lr=tp["lr"],
+                scheduler_set=False)
+            _install(trained, target)
+            log(f"trained model_compare/{fam}/{system} ({len(flat)} windows)")
+
+        # --- DiffSTG: dense spatial windows + per-graph adjacency -----------
+        target = ews / "model_compare" / "DiffSTG" / system
+        if not (target / "model_trained").exists():
+            tp = COMPARE_TRAIN["DiffSTG"]
+            x, adjs, gids = pre_dataset_spdata(
+                spdata_file_path=str(ds / f"spdata_sde_{system}"),
+                graph_file_path=str(GRAPH_LIB),
+                windows=100, pred_len=100, interval_step=50,
+                sampling_t=cfg["sampling_t"])
+            dataset_param = dict(
+                spdata_file_path=str(ds / f"spdata_sde_{system}"),
+                graph_file_path=str(GRAPH_LIB), filter="*",
+                windows=100, pred_len=100, interval_step=50,
+                sampling_t=cfg["sampling_t"])
+            trained = _train_spatial(
+                x, np.asarray(adjs, np.float32), np.asarray(gids),
+                COMPARE_NETS["DiffSTG"],
+                scratch / f"compare_DiffSTG_{system}", tp["epochs"],
+                seed=stable_seed("compare", "DiffSTG", system),
+                dataset_param=dataset_param, batch=tp["batch"], lr=tp["lr"])
+            _install(trained, target)
+            log(f"trained model_compare/DiffSTG/{system} ({len(x)} windows)")
 
 
 # ===========================================================================
@@ -448,7 +594,15 @@ def render_figures(out: Path) -> int:
     figs = out / "figures"
     slbp = ["--total-time", SLBP_TOTAL, "--d-value", SLBP_D]
     train_end = str(float(SLBP_TOTAL) / 2)
-    jobs = [
+    jobs = []
+    if all((out / "ews_results/model_compare" / fam / "SIS/model_trained").exists()
+           for fam in ("NsDiff", "DiffSTG", "DiffusionTS", "TMDM")):
+        jobs.append(("upgdm_tpu.figures.fig1_model_compare",
+                     ["--trend", "increase", "--graph", "barabasi_albert_30_0"]))
+    if (out / "ews_results/NsDiff_pred/models/dataset__w200p1000st100").exists():
+        jobs.append(("upgdm_tpu.figures.fig4_model_sensitivity",
+                     ["--trend", "increase"] + slbp))
+    jobs += [
         ("upgdm_tpu.figures.fig2_graph_generalization", ["--trend", "increase"]),
         ("upgdm_tpu.figures.fig3_dynamics_transfer", ["--trend", "increase"]),
         ("upgdm_tpu.figures.fig7_train_analysis", ["--trend", "increase"] + slbp),
@@ -497,7 +651,8 @@ def main():
     global CORPUS_GRAPHS, REF_NET, SLBP_TOTAL
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", type=Path, default=REPO / "demo_zoo")
-    ap.add_argument("--stage", choices=["data", "models", "sweep", "stats", "figures", "all"],
+    ap.add_argument("--stage", choices=["data", "models", "compare", "sweep",
+                                        "stats", "figures", "all"],
                     default="all")
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--plot-checks", action="store_true")
@@ -510,12 +665,28 @@ def main():
                        d_ff=16, p_hidden_dims=[8, 8], n_z_samples=8)
         SLBP_TOTAL = "200000.0"
         args.epochs = 1
+        COMPARE_NETS["TMDM"].update(d_model=16, n_heads=2, e_layers=1,
+                                    d_layers=1, d_ff=16, p_hidden_dims=[8, 8],
+                                    diffusion_steps=5, n_z_samples=8)
+        COMPARE_NETS["DiffusionTS"].update(d_model=16, n_heads=2, n_layer_enc=1,
+                                           n_layer_dec=2, timesteps=8,
+                                           diffusion_steps=8, n_z_samples=8)
+        COMPARE_NETS["DiffSTG"].update(d_h=4, Td_h=4, channel_multipliers=[1, 2],
+                                       n_blocks=1, diffusion_steps=20,
+                                       inference_diffusion_steps=4,
+                                       parallel_sampling=2, sequential_sampling=2)
+        for tp in COMPARE_TRAIN.values():
+            tp["epochs"] = 1
+            if "max_windows" in tp:
+                tp["max_windows"] = 64
     out = args.out_dir
     out.mkdir(parents=True, exist_ok=True)
     if args.stage in ("data", "all"):
         gen_data(out)
     if args.stage in ("models", "all"):
         train_models(out, args.epochs)
+    if args.stage in ("compare", "all"):
+        train_compare_models(out)
     if args.stage in ("sweep", "stats", "all"):
         run_stats(out, plot_checks=args.plot_checks)
         summarize(out)
