@@ -590,8 +590,9 @@ def summarize(out: Path):
 # stage: figures (2/3/8 from the new zoo)
 # ===========================================================================
 
-def render_figures(out: Path) -> int:
-    figs = out / "figures"
+def figure_jobs(out: Path) -> list:
+    """(module, extra-args) figure renders for the trees present under
+    ``out`` — fig1/fig4 only once their model trees exist."""
     slbp = ["--total-time", SLBP_TOTAL, "--d-value", SLBP_D]
     train_end = str(float(SLBP_TOTAL) / 2)
     jobs = []
@@ -608,6 +609,12 @@ def render_figures(out: Path) -> int:
         ("upgdm_tpu.figures.fig7_train_analysis", ["--trend", "increase"] + slbp),
         ("upgdm_tpu.figures.fig8_train_source", slbp + ["--train-end", train_end]),
     ]
+    return jobs
+
+
+def render_figures(out: Path) -> int:
+    figs = out / "figures"
+    jobs = figure_jobs(out)
     failed = 0
     for mod, extra in jobs:
         cmd = [sys.executable, "-m", mod,

@@ -248,3 +248,29 @@ def test_zoo_manifest_excludes_scratch_and_self(tmp_path):
     # re-run converges to a fixed point (same rows, no self-entry)
     Z.write_manifest(tmp_path)
     assert json.loads((tmp_path / "MANIFEST.json").read_text()) == rows
+
+
+def test_zoo_figure_jobs_gate_on_model_trees(tmp_path):
+    """figure_jobs only schedules fig1/fig4 once their model trees exist
+    (partial zoos keep rendering the always-available figures)."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import reference_zoo as Z
+
+    mods = [m for m, _ in Z.figure_jobs(tmp_path)]
+    assert not any("fig1" in m or "fig4" in m for m in mods)
+    assert any("fig2" in m for m in mods) and any("fig8" in m for m in mods)
+
+    for fam in ("NsDiff", "DiffSTG", "DiffusionTS", "TMDM"):
+        d = tmp_path / "ews_results" / "model_compare" / fam / "SIS"
+        d.mkdir(parents=True)
+        (d / "model_trained").write_bytes(b"ckpt")
+    pred = tmp_path / "ews_results" / "NsDiff_pred" / "models"
+    pred.mkdir(parents=True)
+    (pred / "dataset__w200p1000st100").write_bytes(b"ckpt")
+
+    mods = [m for m, _ in Z.figure_jobs(tmp_path)]
+    assert mods[0].endswith("fig1_model_compare")
+    assert mods[1].endswith("fig4_model_sensitivity")
