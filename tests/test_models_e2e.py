@@ -373,7 +373,7 @@ def test_diffusionts_sample_chunk_exact():
     x = jnp.asarray(rng.normal(size=(3, 24, 1)).astype(np.float32))
     key = jax.random.key(0)
 
-    m_full = DiffusionTSModel(cfg)
+    m_full = DiffusionTSModel(dict(cfg, sample_chunk=None))  # explicit off
     m_chunk = DiffusionTSModel(dict(cfg, sample_chunk=4))  # 10 = 4+4+2(pad)
     m_chunk.params = m_full.params
     e_full = np.asarray(jax.jit(
@@ -381,3 +381,31 @@ def test_diffusionts_sample_chunk_exact():
     e_chunk = np.asarray(jax.jit(
         lambda p, b, k: m_chunk.sample_fn(p, b, k, 10))(m_chunk.params, x, key))
     np.testing.assert_allclose(e_chunk, e_full, atol=1e-5)
+
+    # sample_chunk now DEFAULTS to parallel_sample (the reference's ensemble
+    # pass width) — the default-chunked ensemble must equal the unchunked one
+    m_default = DiffusionTSModel(dict(cfg, parallel_sample=4))
+    m_default.params = m_full.params
+    e_default = np.asarray(jax.jit(
+        lambda p, b, k: m_default.sample_fn(p, b, k, 10))(m_default.params, x, key))
+    np.testing.assert_allclose(e_default, e_full, atol=1e-5)
+
+
+def test_diffusionts_evaluation_step_host_rounds():
+    """evaluation_step draws the ensemble in host-side parallel_sample
+    rounds (bounded device programs for the remote TPU transport) and still
+    returns exactly n_z_samples finite trajectories."""
+    from upgdm_tpu.models.diffusionts import DiffusionTSModel
+
+    cfg = dict(
+        dataset_nf=1, windows=24, pred_len=8, diffusion_steps=6, timesteps=12,
+        scaler_type=None, d_model=32, n_heads=2, n_layer_enc=1, n_layer_dec=2,
+        n_z_samples=10, parallel_sample=4, task_model="DiffusionTS",
+    )
+    m = DiffusionTSModel(cfg)
+    batch = np.random.default_rng(0).normal(size=(3, 32, 1)).astype(np.float32)
+    outs, batch_y = m.evaluation_step(batch)
+    outs = np.asarray(outs)
+    assert outs.shape == (3, 8, 1, 10)
+    assert np.isfinite(outs).all()
+    assert batch_y.shape == (3, 8, 1)

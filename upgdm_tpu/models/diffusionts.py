@@ -302,7 +302,10 @@ class DiffusionTSModel(DiffusionWrapperBase):
         # chunks sequentially with one chunk's memory.  The chip is already
         # compute-saturated at small batches, so chunking costs no
         # throughput.  Same per-sample keys -> chunked == unchunked exactly.
-        chunk = self.net_param.get("sample_chunk")
+        # Default: parallel_sample, the reference's own ensemble pass width
+        # (DiffusionTS.py sampling loop draws parallel_sample trajectories
+        # per forward) — n_z=100 x 8 windows x 30 nodes would OOM unchunked.
+        chunk = self.net_param.get("sample_chunk", self.parallel_sample)
         if chunk and chunk < S:
             n_chunks = -(-S // chunk)
             pad = n_chunks * chunk - S
@@ -361,7 +364,22 @@ class DiffusionTSModel(DiffusionWrapperBase):
             if batch.shape[1] - self.windows >= self.pred_len
             else None
         )
-        outs = self._jitted_sample(self.params, batch_x, self.next_key(), self.n_z_samples)
+        S, R = self.n_z_samples, self.parallel_sample
+        if R and R < S:
+            # Ensemble in host-side rounds of parallel_sample draws — the
+            # reference's own sampling-loop shape (DiffusionTS draws
+            # parallel_sample trajectories per forward).  One n_z=100
+            # Langevin program over a chunk of 30-node windows is minutes of
+            # device time in a single call, which the remote TPU transport
+            # does not survive; R bounded rounds reuse one compiled program
+            # and keep every call at the bench-validated scale.
+            rounds = [
+                self._jitted_sample(self.params, batch_x, self.next_key(), R)
+                for _ in range(-(-S // R))
+            ]
+            outs = jnp.concatenate(rounds, axis=-1)[..., :S]
+        else:
+            outs = self._jitted_sample(self.params, batch_x, self.next_key(), S)
         return outs, batch_y
 
     @partial(jax.jit, static_argnums=(0, 4))
