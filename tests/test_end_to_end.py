@@ -85,9 +85,8 @@ def test_uncertainty_ews_sampling_and_gx(trained_model_dir, tmp_path):
         sampling_t=0.1,
         uncertainty_method="sampling",
         save_nsdiff_g=False,
-        # like the reference, a cache hit without a loaded model skips the
-        # inverse feature transform; load the model to compare values
-        load_model_when_cached=True,
+        # cache-hit summary must land in the same (raw, inverse-scaled)
+        # space as the fresh compute — via the checkpoint scaler view
     )
     # step inferred from cache length (ambiguous here: any step reproducing the
     # cache length is acceptable; the reference tie-breaks the same way)
@@ -95,6 +94,19 @@ def test_uncertainty_ews_sampling_and_gx(trained_model_dir, tmp_path):
 
     assert sliding_window_count(120, 16, res2["sample_window_step"]) == n_windows
     np.testing.assert_allclose(res2["ews"], res["ews"], rtol=1e-6)
+
+    # the scale-consistency guard: cache-hit summaries must land in raw
+    # (inverse-scaled) space WITHOUT constructing the model — the scaler
+    # view recovers the statistics from the checkpoint alone, while a bare
+    # model=None summarize of the same cache stays in scaled space
+    from upgdm_tpu.eval.uncertainty import load_scaler_view, summarize_pred_future_list
+
+    view = load_scaler_view(trained_model_dir)
+    assert view is not None and view.scaler is not None
+    _, scaled_ews = summarize_pred_future_list(cache, model=None)
+    _, viewed_ews = summarize_pred_future_list(cache, model=view)
+    np.testing.assert_allclose(viewed_ews, res["ews"], rtol=1e-5)
+    assert not np.allclose(scaled_ews, res["ews"], rtol=0.2)
 
 
 def test_uncertainty_ews_cache_mode_none(trained_model_dir, tmp_path):

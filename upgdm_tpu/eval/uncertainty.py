@@ -223,6 +223,30 @@ def _legacy_single_underscore_model_name(model_name):
 # Summaries (ref :267-320, :529-550, :686-728)
 # ---------------------------------------------------------------------------
 
+def load_scaler_view(model_save_file):
+    """Scaler statistics only — no model construction, no device arrays.
+
+    Cache-hit summaries need just ``scaler_mean``/``scaler_std`` for the
+    inverse feature transform (ref :267-291); building the full model would
+    put parameters on the default backend, which a CPU-only figure re-render
+    from committed caches must not require.  Returns None when no checkpoint
+    exists or it carries no fitted scaler.
+    """
+    from types import SimpleNamespace
+
+    try:
+        _, sd = uio.load_checkpoint(Path(model_save_file) / "model_trained")
+    except (FileNotFoundError, KeyError):
+        return None
+    if "scaler_mean" not in sd or "scaler_std" not in sd:
+        return None
+    return SimpleNamespace(
+        scaler="standard",
+        scaler_mean=np.asarray(sd["scaler_mean"], np.float32),
+        scaler_std=np.asarray(sd["scaler_std"], np.float32),
+    )
+
+
 def _feature_inverse_transform(pred_future: np.ndarray, model=None) -> np.ndarray:
     """Inverse-scale along whichever axis matches the feature count (ref :267-283)."""
     if model is None or getattr(model, "scaler", None) is None:
@@ -1101,6 +1125,16 @@ def uncertainty_ews(
       device (fast_mpv_sweep): only two scalars per window leave the chip
       (~40% faster than the cache path on a tunneled v5e).  Sampling path of
       non-graph models only; `pred_future_list` is None in the result.
+
+    Scale consistency (deliberate fix of a reference inconsistency): in the
+    reference, a cache hit summarizes with model=None, which skips the
+    scaler inverse transform (ref :267-291) and silently returns MPV in
+    *scaled* space, while a fresh compute of the very same windows returns
+    *raw*-space MPV — a re-rendered figure's y-axis changes by
+    scaler_std**2.  Here, cache-hit summaries recover the scaler statistics
+    from the checkpoint (``load_scaler_view`` — no model construction, no
+    device arrays) so every path (fresh compute, cache reload, and the
+    device-side fast_mpv_sweep) reports raw-space MPV.
     """
     dynamic_type = dynamic_name(dynamic_type)
     uncertainty_method = str(uncertainty_method).lower()
@@ -1246,8 +1280,11 @@ def uncertainty_ews(
                 chunk_windows=chunk_windows,
             )
         if pred_future_list is not None:
+            summarize_model = model
+            if summarize_model is None and model_save_file is not None:
+                summarize_model = load_scaler_view(model_save_file)
             pred_mean_list, uncertainty_ews_list = summarize_pred_future_list(
-                pred_future_list, model=model
+                pred_future_list, model=summarize_model
             )
     else:
         pred_future_list = None
