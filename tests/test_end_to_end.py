@@ -143,6 +143,19 @@ def test_uncertainty_ews_cache_mode_none(trained_model_dir, tmp_path):
         uncertainty_ews(cache_path=tmp_path / "x.pt", cache_mode="bogus", **kwargs)
 
 
+def test_load_scaler_view_edges(tmp_path):
+    """No checkpoint / no fitted scaler -> None (summaries stay unscaled
+    rather than crashing a cache-only render)."""
+    from upgdm_tpu.eval.uncertainty import load_scaler_view
+    from upgdm_tpu.utils.io import save_pt
+
+    assert load_scaler_view(tmp_path) is None  # nothing on disk
+    save_pt({"net_param": {"task_model": "NsDiff"},
+             "state_dict": {"w": np.zeros(3, np.float32)}},
+            tmp_path / "model_trained")
+    assert load_scaler_view(tmp_path) is None  # checkpoint without scaler
+
+
 def test_uncertainty_ews_gx_only(trained_model_dir, tmp_path):
     from upgdm_tpu.eval.uncertainty import uncertainty_ews
 
