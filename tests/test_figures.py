@@ -282,3 +282,27 @@ def test_compute_local_slopes_matches_naive_polyfit():
         exp_s.append(np.polyfit(x[ok], y[ok], 1)[0])
     np.testing.assert_allclose(times, exp_t)
     np.testing.assert_allclose(slopes, exp_s, rtol=1e-8)
+
+
+def test_plot_fig1_smoke(tmp_path):
+    """plot_fig1 renders synthetic signals end-to-end — derisks the plotting
+    stage so a long TPU sweep cannot be wasted by a plot-layer bug."""
+    from upgdm_tpu.figures.fig1_model_compare import plot_fig1
+    from upgdm_tpu.figures.common import DATASETS, FIG1_MODELS
+
+    rng = np.random.default_rng(0)
+    fig_data = {}
+    for ds in DATASETS:
+        t = np.linspace(0.0, 100.0, 200)
+        fig_data[ds] = {
+            "raw": {"time": t, "mean": np.tanh((t - 60) / 5.0),
+                    "transition_time": 60.0},
+            "models": {
+                m: {"time": t[::5], "ews": 1.0 + 0.1 * rng.normal(size=40),
+                    "cache_path": "x", "sample_window_step": 5}
+                for m in FIG1_MODELS
+            },
+        }
+    png = plot_fig1(fig_data, list(FIG1_MODELS), tmp_path, "increase")
+    assert png.exists() and png.stat().st_size > 10_000
+    assert (tmp_path / "fig1_model_compare_increase.pdf").exists()
