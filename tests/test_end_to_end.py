@@ -143,6 +143,43 @@ def test_uncertainty_ews_cache_mode_none(trained_model_dir, tmp_path):
         uncertainty_ews(cache_path=tmp_path / "x.pt", cache_mode="bogus", **kwargs)
 
 
+def test_run_evaluation_cache_resume(trained_model_dir, tmp_path):
+    """Mid-sweep partials: resumed runs keep finished ensembles verbatim,
+    finish the tail, land the final cache, and clean the partial up."""
+    from upgdm_tpu.eval.uncertainty import load_model_from_dir, run_evaluation_cache
+    from upgdm_tpu.utils.io import load_tensor_list, save_tensor_list
+
+    model, _ = load_model_from_dir(trained_model_dir, device="cpu")
+    rng = np.random.default_rng(7)
+    wins = (rng.normal(size=(5, 1, 16, 2)) * 0.1).astype(np.float32).cumsum(axis=2)
+
+    cache = tmp_path / "resume.pt"
+    out = run_evaluation_cache(model, wins, 8, cache, chunk_windows=2,
+                               checkpoint_every=2)
+    assert len(out) == 5 and cache.exists()
+    assert not cache.with_name("resume.pt.partial").exists()
+
+    # seed a partial with recognizable sentinels for the first 3 windows
+    cache2 = tmp_path / "resume2.pt"
+    sentinels = [np.full((1, 8, 2, 6), float(i), np.float32) for i in range(3)]
+    save_tensor_list(sentinels, cache2.with_name("resume2.pt.partial"))
+    out2 = run_evaluation_cache(model, wins, 8, cache2, chunk_windows=2,
+                                checkpoint_every=2)
+    assert len(out2) == 5
+    for i in range(3):
+        np.testing.assert_array_equal(out2[i], sentinels[i])
+    assert cache2.exists()
+    assert not cache2.with_name("resume2.pt.partial").exists()
+    assert len(load_tensor_list(cache2)) == 5
+
+    # a corrupt partial is discarded, not fatal
+    cache3 = tmp_path / "resume3.pt"
+    cache3.with_name("resume3.pt.partial").write_bytes(b"not a torch file")
+    out3 = run_evaluation_cache(model, wins, 8, cache3, chunk_windows=2,
+                                checkpoint_every=2)
+    assert len(out3) == 5 and cache3.exists()
+
+
 def test_load_scaler_view_edges(tmp_path):
     """No checkpoint / no fitted scaler -> None (summaries stay unscaled
     rather than crashing a cache-only render)."""

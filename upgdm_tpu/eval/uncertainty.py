@@ -523,15 +523,42 @@ def batched_gx(model, windows_array: np.ndarray, chunk_windows: int = 64) -> Lis
 
 def run_evaluation_cache(
     model, windows_array, pred_len, cache_path, device=None, force_recompute=False,
-    max_windows=None, chunk_windows=8,
+    max_windows=None, chunk_windows=8, checkpoint_every=32,
 ):
+    """Sweep -> `.pt` ensemble cache, with mid-sweep checkpointing.
+
+    Long sweeps (DiffusionTS at n_z=100 runs ~minutes of device time per
+    window chunk) survive a transport drop: every ``checkpoint_every``
+    windows the finished ensembles are flushed to ``<cache>.partial`` and a
+    rerun resumes from them instead of recomputing the whole trajectory.
+    The partial file is atomic (tmp-then-rename) and deleted once the real
+    cache lands; a corrupt/unreadable partial is discarded, not fatal.
+    """
     cache_path = Path(cache_path)
     if cache_path.exists() and not force_recompute:
         return uio.load_tensor_list(cache_path)
-    pred_future_list = batched_window_ensemble(
-        model, windows_array, pred_len, chunk_windows=chunk_windows, max_windows=max_windows
-    )
+    n = len(windows_array)
+    if max_windows is not None:
+        n = min(n, max_windows)
+    partial_path = cache_path.with_name(cache_path.name + ".partial")
+    pred_future_list: List[np.ndarray] = []
+    if partial_path.exists() and not force_recompute:
+        try:
+            pred_future_list = uio.load_tensor_list(partial_path)[:n]
+        except Exception:
+            pred_future_list = []
+    while len(pred_future_list) < n:
+        stop = min(len(pred_future_list) + max(int(checkpoint_every), 1), n)
+        pred_future_list.extend(batched_window_ensemble(
+            model, windows_array[len(pred_future_list):stop], pred_len,
+            chunk_windows=chunk_windows,
+        ))
+        if stop < n:
+            tmp = partial_path.with_name(partial_path.name + ".tmp")
+            uio.save_tensor_list(pred_future_list, tmp)
+            tmp.replace(partial_path)
     uio.save_tensor_list(pred_future_list, cache_path)
+    partial_path.unlink(missing_ok=True)
     return pred_future_list
 
 
