@@ -317,6 +317,24 @@ def test_uncertainty_ews_diffstg_path(tmp_path):
     norm = normalize_diffstg_pred_future_list(legacy)
     assert norm[0].shape == (V, 8, 1, 4)
 
+    # mid-sweep partial resume mirrors run_evaluation_cache semantics
+    from upgdm_tpu.eval.uncertainty import run_diffstg_evaluation_cache
+    from upgdm_tpu.ops.graph import graphml_to_adjacency
+    from upgdm_tpu.utils.io import save_tensor_list
+
+    graph = graphml_to_adjacency(graph_file)
+    wins = (rng.normal(size=(4, V, 8, 1)) * 0.1).astype(np.float32)
+    cache2 = tmp_path / "stg_resume.pt"
+    sentinels = [np.full((V, 8, 1, 4), float(i), np.float32) for i in range(2)]
+    save_tensor_list(sentinels, cache2.with_name("stg_resume.pt.partial"))
+    out2 = run_diffstg_evaluation_cache(model, wins, 8, graph, cache2,
+                                        checkpoint_every=1)
+    assert len(out2) == 4
+    for i in range(2):
+        np.testing.assert_array_equal(out2[i], sentinels[i])
+    assert cache2.exists()
+    assert not cache2.with_name("stg_resume.pt.partial").exists()
+
 
 def test_emergency_checkpoint_resume(tmp_path):
     """run_training resumes from an emergency checkpoint at the saved epoch."""

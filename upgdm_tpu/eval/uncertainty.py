@@ -564,23 +564,37 @@ def run_evaluation_cache(
 
 def run_diffstg_evaluation_cache(
     model, windows_array, pred_len, graph, cache_path, device=None,
-    force_recompute=False, max_windows=None,
+    force_recompute=False, max_windows=None, checkpoint_every=32,
 ):
+    """Per-window DiffSTG sweep with the same mid-sweep checkpointing as
+    :func:`run_evaluation_cache` (atomic ``<cache>.partial``, resume on
+    rerun, cleaned up once the cache lands)."""
     cache_path = Path(cache_path)
     if cache_path.exists() and not force_recompute:
         return normalize_diffstg_pred_future_list(uio.load_tensor_list(cache_path))
     import jax.numpy as jnp
 
     adj = jnp.asarray(graph.adj)
-    out = []
     iterable = windows_array[:max_windows] if max_windows is not None else windows_array
-    for win in iterable:  # [Node, W, F]
-        x = win
+    partial_path = cache_path.with_name(cache_path.name + ".partial")
+    out: List[np.ndarray] = []
+    if partial_path.exists() and not force_recompute:
+        try:
+            out = uio.load_tensor_list(partial_path)[: len(iterable)]
+        except Exception:
+            out = []
+    for i in range(len(out), len(iterable)):  # [Node, W, F] per window
+        x = iterable[i]
         if getattr(model, "scaler", None) is not None:
             x = model.scaler_transform(x)
         pred_future, _ = model.evaluation_step({"x": jnp.asarray(x), "adj": adj})
         out.append(np.asarray(pred_future)[:, -pred_len:, :, :])
+        if len(out) % max(int(checkpoint_every), 1) == 0 and len(out) < len(iterable):
+            tmp = partial_path.with_name(partial_path.name + ".tmp")
+            uio.save_tensor_list(out, tmp)
+            tmp.replace(partial_path)
     uio.save_tensor_list(out, cache_path)
+    partial_path.unlink(missing_ok=True)
     return out
 
 
