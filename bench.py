@@ -178,6 +178,34 @@ def measure_cpu_baseline(n_windows: int = 2) -> float:
     return rate
 
 
+def wait_for_accelerator(retries: int = 6, probe_timeout: int = 300,
+                         sleep_s: int = 120) -> bool:
+    """Bounded wait for the TPU terminal (it occasionally drops for minutes).
+
+    Round-end bench runs are unattended; rather than hanging forever on
+    backend init (a never-granted client blocks inside jax.devices()), probe
+    in a short-lived subprocess — it exits before the real run starts, so it
+    never holds the single TPU session grant — and retry with backoff.
+    Returns False after ~40 min so the real run surfaces the actual error.
+    """
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jnp.ones((8, 128)).sum()))")
+    for i in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"# accelerator probe {i + 1}/{retries} failed; retrying in "
+              f"{sleep_s}s", file=sys.stderr)
+        time.sleep(sleep_s)
+    return False
+
+
 def main():
     import argparse
 
@@ -185,6 +213,9 @@ def main():
     ap.add_argument("--profile", default=None, help="jax.profiler trace output dir")
     args = ap.parse_args()
     cpu_rate = measure_cpu_baseline()
+    if not wait_for_accelerator():
+        print("# accelerator still unavailable; attempting the run anyway",
+              file=sys.stderr)
     tpu_rate = measure_tpu(profile_dir=args.profile)
     print(
         json.dumps(
