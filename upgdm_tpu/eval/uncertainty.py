@@ -236,7 +236,9 @@ def load_scaler_view(model_save_file):
 
     try:
         _, sd = uio.load_checkpoint(Path(model_save_file) / "model_trained")
-    except (FileNotFoundError, KeyError):
+    except Exception:
+        # no/corrupt checkpoint: summarize unscaled (the pre-existing cache
+        # is still renderable) rather than failing the whole figure
         return None
     if "scaler_mean" not in sd or "scaler_std" not in sd:
         return None
