@@ -26,6 +26,11 @@ Stages (idempotent):
     python examples/reference_zoo.py --out-dir demo_zoo --stage stats
     python examples/reference_zoo.py --out-dir demo_zoo --stage figures
 
+``--stage fig1`` regenerates only the paper-Fig-1 dependency chain on a
+reset tree (corpus data -> the 3 generalization NsDiffs + the 9
+model_compare family models -> the fig1 render): the SLBP trees behind
+figs 4/7/8 are skipped because those figures are already committed.
+
 Reference anchors: paper_figures/graph_generalization_experiment.py:95-104,
 dynamics_transfer_experiment.py:97-108, mpv_collapse_summary.py:162-189,
 ews_results/NsDiff_machine/*/model_trained.yaml (d512 geometry).
@@ -275,7 +280,7 @@ def _install(trained: Path, target_dir: Path, name: str = "model_trained"):
     shutil.copy(trained / "model_trained.yaml", target_dir / f"{name}.yaml")
 
 
-def train_models(out: Path, epochs: int):
+def train_models(out: Path, epochs: int, generalization_only: bool = False):
     ews = out / "ews_results"
     scratch = out / "_scratch"
     ds = out / "dataset"
@@ -304,6 +309,11 @@ def train_models(out: Path, epochs: int):
         for tgt in (graph_t, dyn_t, stats_t):
             _install(trained, tgt)
         log(f"trained generalization/{system} at d512 ({len(flat)} windows)")
+
+    if generalization_only:
+        # --stage fig1: the SLBP trees below back figs 4/7/8, which are
+        # already rendered+committed; fig1 needs only model_compare/NsDiff
+        return
 
     # --- SLBP trees (machine ablations, window sweep, train-source, nulls) --
     # SLBP trainings are compile-dominated (a few hundred windows each), so
@@ -612,9 +622,19 @@ def figure_jobs(out: Path) -> list:
     return jobs
 
 
-def render_figures(out: Path) -> int:
-    figs = out / "figures"
+def select_figure_jobs(out: Path, stage: str) -> list:
+    """Figure jobs for a stage: every schedulable figure for figures/all,
+    only the fig1 render for ``--stage fig1`` (empty = tree incomplete)."""
     jobs = figure_jobs(out)
+    if stage == "fig1":
+        jobs = [j for j in jobs if "fig1" in j[0]]
+    return jobs
+
+
+def render_figures(out: Path, jobs: list = None) -> int:
+    figs = out / "figures"
+    if jobs is None:
+        jobs = figure_jobs(out)
     failed = 0
     for mod, extra in jobs:
         cmd = [sys.executable, "-m", mod,
@@ -659,7 +679,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", type=Path, default=REPO / "demo_zoo")
     ap.add_argument("--stage", choices=["data", "models", "compare", "sweep",
-                                        "stats", "figures", "all"],
+                                        "stats", "figures", "fig1", "all"],
                     default="all")
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--plot-checks", action="store_true")
@@ -688,18 +708,23 @@ def main():
                 tp["max_windows"] = 64
     out = args.out_dir
     out.mkdir(parents=True, exist_ok=True)
-    if args.stage in ("data", "all"):
+    if args.stage in ("data", "fig1", "all"):
         gen_data(out)
-    if args.stage in ("models", "all"):
-        train_models(out, args.epochs)
-    if args.stage in ("compare", "all"):
+    if args.stage in ("models", "fig1", "all"):
+        train_models(out, args.epochs,
+                     generalization_only=(args.stage == "fig1"))
+    if args.stage in ("compare", "fig1", "all"):
         train_compare_models(out)
     if args.stage in ("sweep", "stats", "all"):
         run_stats(out, plot_checks=args.plot_checks)
         summarize(out)
     failed = 0
-    if args.stage in ("figures", "all"):
-        failed = render_figures(out)
+    if args.stage in ("figures", "fig1", "all"):
+        jobs = select_figure_jobs(out, args.stage)
+        if args.stage == "fig1" and not jobs:
+            log("fig1 job not schedulable: model_compare tree incomplete")
+            failed = 1
+        failed += render_figures(out, jobs)
         write_manifest(out)
     if failed:
         log(f"zoo INCOMPLETE: {failed} figure(s) failed to render")

@@ -274,3 +274,29 @@ def test_zoo_figure_jobs_gate_on_model_trees(tmp_path):
     mods = [m for m, _ in Z.figure_jobs(tmp_path)]
     assert mods[0].endswith("fig1_model_compare")
     assert mods[1].endswith("fig4_model_sensitivity")
+
+
+def test_zoo_stage_fig1_selects_only_fig1(tmp_path):
+    """--stage fig1 renders exactly the fig1 job once the model_compare tree
+    is complete, and selects nothing (stage fails) while it is incomplete;
+    other stages keep the full schedulable job list."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import reference_zoo as Z
+
+    # incomplete tree: fig1 unschedulable, figures stage still has fig2/fig8
+    assert Z.select_figure_jobs(tmp_path, "fig1") == []
+    assert len(Z.select_figure_jobs(tmp_path, "figures")) >= 2
+
+    for fam in ("NsDiff", "DiffSTG", "DiffusionTS", "TMDM"):
+        d = tmp_path / "ews_results" / "model_compare" / fam / "SIS"
+        d.mkdir(parents=True)
+        (d / "model_trained").write_bytes(b"ckpt")
+
+    jobs = Z.select_figure_jobs(tmp_path, "fig1")
+    assert len(jobs) == 1 and jobs[0][0].endswith("fig1_model_compare")
+    # full stages are unaffected by the fig1 filter
+    full = [m for m, _ in Z.select_figure_jobs(tmp_path, "figures")]
+    assert any("fig2" in m for m in full) and full[0].endswith("fig1_model_compare")
