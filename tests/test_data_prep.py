@@ -75,6 +75,31 @@ def test_pre_dataset_spdata(tmp_path):
     assert adjs[0][5:, :].sum() == 0
 
 
+def test_pre_dataset_spdata_rejects_nonfinite_record(tmp_path):
+    """A part-NaN trajectory record must fail at data prep with the file
+    named, not surface later as a NaN training loss (the flat-window
+    builders drop such windows via their std guard; spatial batches would
+    poison the whole DiffSTG run)."""
+    import networkx as nx
+    import pytest
+
+    from upgdm_tpu.data.graphs import save_graphml
+    from upgdm_tpu.utils.io import save_pt
+
+    gdir = tmp_path / "graphs"
+    ddir = tmp_path / "spdata"
+    save_graphml(nx.path_graph(5), gdir / "g_a.graphml")
+    ys = np.random.default_rng(0).normal(size=(300, 5)).astype(np.float32)
+    ys[150:] = np.nan
+    save_pt({"ys_dynamic": ys, "ts_dynamic": np.arange(300, dtype=np.float32),
+             "tp_values": np.zeros(300, np.float32)},
+            ddir / "g_a" / "sys_dynamic_increase.pt")
+    with pytest.raises(ValueError, match="non-finite ys_dynamic.*g_a"):
+        DP.pre_dataset_spdata(
+            ddir, gdir, windows=16, pred_len=8, interval_step=40, sampling_t=0.1
+        )
+
+
 def test_graph_generators():
     from upgdm_tpu.data.graphs import gen_graph, generate_network
 

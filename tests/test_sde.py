@@ -47,6 +47,53 @@ def test_save_every_decimation():
     assert rec["ts_dynamic"].shape[0] == rec["ys_dynamic"].shape[0]
 
 
+def test_divergence_guard_rejects_partial_nan(monkeypatch):
+    """A trajectory that diverges PART-way (finite head, NaN tail) must be
+    retried, not accepted: the guard checks the per-timestep node-mean over
+    the whole trajectory (ref spdata_sde_biomass_dynamic_gene.py:146), so a
+    NaN-tolerant global mean that ignores the diverged tail is a bug the
+    zoo corpus actually hit (11/360 SIS records shipped 50-80% NaN)."""
+    graph = generate_network("BA", 6, m=2, seed=0)
+    T = 100
+    calls = {"n": 0}
+    real = sde.simulate_sde
+
+    def fake_simulate_sde(*args, **kwargs):
+        calls["n"] += 1
+        ts, ys, eps = real(*args, **kwargs)
+        if calls["n"] == 1:  # first attempt: finite head, diverged tail
+            ys = np.asarray(ys).copy()
+            ys[T // 2:] = np.nan
+        return ts, ys, eps
+
+    monkeypatch.setattr(sde, "simulate_sde", fake_simulate_sde)
+    rec = sde.simulate_network_system(
+        "SIS", graph.adj, total_time=10.0, burn_time=1.0, dt=0.1, seed=3,
+        control_range=(1e-4, 0.3),
+    )
+    assert calls["n"] == 2  # attempt 0 rejected, attempt 1 accepted
+    assert np.isfinite(rec["ys_dynamic"]).all()
+
+    # per-timestep bound: one excursion beyond 100 anywhere must retry too
+    calls["n"] = 0
+
+    def fake_excursion(*args, **kwargs):
+        calls["n"] += 1
+        ts, ys, eps = real(*args, **kwargs)
+        if calls["n"] == 1:
+            ys = np.asarray(ys).copy()
+            ys[T // 3] = 500.0
+        return ts, ys, eps
+
+    monkeypatch.setattr(sde, "simulate_sde", fake_excursion)
+    rec = sde.simulate_network_system(
+        "SIS", graph.adj, total_time=10.0, burn_time=1.0, dt=0.1, seed=3,
+        control_range=(1e-4, 0.3),
+    )
+    assert calls["n"] == 2
+    assert np.isfinite(rec["ys_dynamic"]).all()
+
+
 def test_determinism():
     a = sde.simulate_slbp(total_time=10.0, burn_time=0.0, dt=0.1, seed=7)
     b = sde.simulate_slbp(total_time=10.0, burn_time=0.0, dt=0.1, seed=7)

@@ -252,8 +252,11 @@ def simulate_network_system(
             burn_time=burn_time, burn_control=burn_control, save_every=save_every,
             noise="scale_mixture",
         )
-        mean = float(np.nanmean(ys))
-        if np.isfinite(mean) and -10.0 < mean < 100.0:
+        # per-timestep node-mean must stay finite and inside (-10, 100) for
+        # the WHOLE trajectory (ref :146 checks max/min/isnan of mean(dim=1);
+        # a global nanmean would silently accept part-NaN diverged runs)
+        mean_t = np.asarray(ys, np.float64).mean(axis=1)
+        if np.isfinite(mean_t).all() and mean_t.max() < 100.0 and mean_t.min() > -10.0:
             return {
                 "ys_dynamic": ys.astype(np.float32),  # [T, Node]
                 "ts_dynamic": ts.astype(np.float32),

@@ -173,6 +173,14 @@ def pre_dataset_spdata(
         for spdata_file in sorted(glob(str(Path(d) / "*.pt"))):
             rec = load_pt(spdata_file)
             series = np.asarray(rec["ys_dynamic"], np.float32).T[:, :, None]  # [V, T, 1]
+            if not np.isfinite(series).all():
+                # fail at data prep, not as a NaN loss mid-training: a
+                # non-finite record means the SIMULATION diverged (the
+                # flat-window builders drop such windows via their std
+                # guard, but spatial batches would poison the whole run)
+                raise ValueError(
+                    f"non-finite ys_dynamic in {spdata_file} — regenerate the "
+                    "record (divergence-guarded simulate_network_system)")
             sampled = series[:, ::interval, :]
             wins = unfold_windows(sampled, L, interval_step, axis=1)  # [V, n, L, 1]
             wins = wins.transpose(1, 0, 2, 3)  # [n, V, L, 1]
