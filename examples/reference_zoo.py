@@ -31,6 +31,10 @@ reset tree (corpus data -> the 3 generalization NsDiffs + the 9
 model_compare family models -> the fig1 render): the SLBP trees behind
 figs 4/7/8 are skipped because those figures are already committed.
 
+``--stage slbpfigs`` regenerates only the figs-5/6/9 chain (the FIG5 SLBP
+grid corpora -> NsDiff_machine/{NsDiff,preg} + NsDiff_trends -> the fig5
+tipping-types grid, fig6 model-analysis and fig9 smoothing-control renders).
+
 Reference anchors: paper_figures/graph_generalization_experiment.py:95-104,
 dynamics_transfer_experiment.py:97-108, mpv_collapse_summary.py:162-189,
 ews_results/NsDiff_machine/*/model_trained.yaml (d512 geometry).
@@ -39,12 +43,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import subprocess
 import sys
 import time
 import zlib
 from pathlib import Path
+
+# persistent TPU compile cache (bench.py's convention): training stages and
+# the render subprocesses (which inherit the env) re-run across sessions and
+# tunnel drops — without this every retry re-pays minutes of remote compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import numpy as np
 
@@ -105,6 +115,12 @@ REF_NET = dict(
 
 SLBP_TOTAL = "400000.0"
 SLBP_D = "1e-05"
+# figs 5/9 SLBP grid at zoo scale: the reference grid is D {1e-05, 5e-06} x
+# total_time {1e6, 2e6, 3e6} (tipping_types_experiment.py D_VALUES/TIME_ROWS,
+# smoothing_experiment.py NOISES); here two totals anchored at the zoo's 400k
+# scale, sample_window_step scaled with duration like the reference rows
+FIG5_TIME_ROWS = (("400000.0", "t4e5", 10), ("800000.0", "t8e5", 20))
+FIG59_D_VALUES = ("1e-05", "5e-06")
 CONTANT_SPECS = {
     "D_0.001": (0.001, 1.0),
     "D_0.0001": (0.0001, 1.0),
@@ -169,6 +185,21 @@ def gen_data(out: Path):
             )
             save_pt(rec, path)
             log(f"SLBP {trend}: {rec['ys_dynamic'].shape}")
+    # figs 5/9 SLBP grid (reduced reference grid; the (SLBP_TOTAL, SLBP_D)
+    # cell is the main record above and is skipped by the exists() guard)
+    for total, _folder, _step in FIG5_TIME_ROWS:
+        for d in FIG59_D_VALUES:
+            for trend in TRENDS:
+                path = slbp_source_path(ds, total, trend, d)
+                if path.exists():
+                    continue
+                rec = simulate_slbp(
+                    params={"D": float(d)}, trend=trend,
+                    total_time=float(total), burn_time=1000.0, dt=0.1,
+                    seed=stable_seed(total, trend, d),
+                )
+                save_pt(rec, path)
+                log(f"SLBP T{total} D{d} {trend}: {rec['ys_dynamic'].shape}")
     for folder, (d, n) in CONTANT_SPECS.items():
         path = ds / "SLBP_model_data_contant" / folder / "SLBP_dynamic.pt"
         if not path.exists():
@@ -280,14 +311,15 @@ def _install(trained: Path, target_dir: Path, name: str = "model_trained"):
     shutil.copy(trained / "model_trained.yaml", target_dir / f"{name}.yaml")
 
 
-def train_models(out: Path, epochs: int, generalization_only: bool = False):
+def train_models(out: Path, epochs: int, generalization_only: bool = False,
+                 fig569_only: bool = False):
     ews = out / "ews_results"
     scratch = out / "_scratch"
     ds = out / "dataset"
     main_rec = [slbp_source_path(ds, SLBP_TOTAL, t, SLBP_D) for t in TRENDS]
 
     # --- generalization + corpus-statistics models: one per dynamics --------
-    for system, cfg in SYSTEMS.items():
+    for system, cfg in () if fig569_only else SYSTEMS.items():
         graph_t = ews / "ews_generalization/graph" / system
         dyn_t = ews / "ews_generalization/dynamic" / system
         stats_t = ews / "model_compare/NsDiff" / system
@@ -342,6 +374,12 @@ def train_models(out: Path, epochs: int, generalization_only: bool = False):
     for p in (500, 1000):
         bank_jobs.append(("NsDiff_pred", f"dataset__w200p{p}st100", 200, p,
                           "NsDiff_model"))
+    if fig569_only:
+        # --stage slbpfigs: only the models figs 5/6/9 read — the machine
+        # full model + preg (fig6/fig9 gx) and the trends model (fig5 MPV)
+        bank_jobs = [j for j in bank_jobs
+                     if j[0] in ("NsDiff_machine/NsDiff", "NsDiff_machine/preg",
+                                 "NsDiff_trends")]
     for root, name, w, p, select in bank_jobs:
         target = ews / root / "models"
         if (target / name).exists():
@@ -354,6 +392,9 @@ def train_models(out: Path, epochs: int, generalization_only: bool = False):
                          dataset_param=slbp_dsp(w, p), batch=64)
         _install(trained, target, name)
         log(f"trained {root}/models/{name} at d512 ({len(flat)} windows)")
+
+    if fig569_only:
+        return
 
     # NsDiff_pred shares its w200p200 anchor with the window sweep (identical
     # config + data; the reference ships its own copy under both trees)
@@ -619,19 +660,63 @@ def figure_jobs(out: Path) -> list:
         ("upgdm_tpu.figures.fig7_train_analysis", ["--trend", "increase"] + slbp),
         ("upgdm_tpu.figures.fig8_train_source", slbp + ["--train-end", train_end]),
     ]
+    # figs 5/6/9 (SLBP trees + the FIG5 grid corpora, zoo-scale args)
+    ds = out / "dataset"
+    machine = out / "ews_results/NsDiff_machine"
+    fig5_ready = (
+        (out / "ews_results/NsDiff_trends/models/dataset__w200p200st100").exists()
+        and all(slbp_source_path(ds, t, trend, d).exists()
+                for t, _f, _s in FIG5_TIME_ROWS
+                for d in FIG59_D_VALUES for trend in TRENDS))
+    if fig5_ready:
+        jobs.append(("upgdm_tpu.figures.fig5_tipping_types",
+                     ["--d-values", *FIG59_D_VALUES, "--time-rows",
+                      *[f"{t}:{f}:{s}" for t, f, s in FIG5_TIME_ROWS]]))
+    if all((machine / m / "models/dataset_w200p200st100").exists()
+           for m in ("NsDiff", "preg")):
+        jobs.append(("upgdm_tpu.figures.fig6_slbp_model_analysis", list(slbp)))
+    fig9_ready = (
+        (machine / "NsDiff/models/dataset_w200p200st100").exists()
+        and all(slbp_source_path(ds, SLBP_TOTAL, "increase", d).exists()
+                for d in FIG59_D_VALUES))
+    if fig9_ready:
+        jobs.append(("upgdm_tpu.figures.fig9_smoothing",
+                     ["--trend", "increase", "--total-time", SLBP_TOTAL,
+                      "--noises", *FIG59_D_VALUES]))
     return jobs
 
 
 def select_figure_jobs(out: Path, stage: str) -> list:
     """Figure jobs for a stage: every schedulable figure for figures/all,
-    only the fig1 render for ``--stage fig1`` (empty = tree incomplete)."""
+    only the fig1 render for ``--stage fig1``, only the SLBP-tree figures
+    for ``--stage slbpfigs`` (empty = tree incomplete)."""
     jobs = figure_jobs(out)
     if stage == "fig1":
         jobs = [j for j in jobs if "fig1" in j[0]]
+    elif stage == "slbpfigs":
+        jobs = [j for j in jobs if any(f"fig{n}" in j[0] for n in (5, 6, 9))]
     return jobs
 
 
-def render_figures(out: Path, jobs: list = None) -> int:
+def _wait_for_tpu(retries: int = 5, probe_timeout: int = 300, sleep_s: int = 120):
+    """Bounded wait for the TPU terminal after a worker crash (bench.py's
+    wait_for_accelerator pattern): probe in a short-lived subprocess so the
+    probe never holds the single TPU session grant."""
+    code = "import jax, jax.numpy as jnp; print(float(jnp.ones((8, 128)).sum()))"
+    for i in range(retries):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"TPU probe {i + 1}/{retries} failed; retrying in {sleep_s}s")
+        time.sleep(sleep_s)
+    return False
+
+
+def render_figures(out: Path, jobs: list = None, attempts: int = 3) -> int:
     figs = out / "figures"
     if jobs is None:
         jobs = figure_jobs(out)
@@ -641,13 +726,20 @@ def render_figures(out: Path, jobs: list = None) -> int:
                "--ews-root", str(out / "ews_results"),
                "--source-root", str(out / "dataset"),
                "--output-dir", str(figs), *extra]
-        log("render " + mod)
-        r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
-        if r.returncode != 0:
-            failed += 1
+        # the TPU tunnel occasionally drops mid-sweep ("TPU worker process
+        # crashed"); the long-ensemble sweeps checkpoint, so a bounded retry
+        # resumes from the last chunk instead of failing the whole stage
+        for attempt in range(attempts):
+            log("render " + mod + (f" (retry {attempt})" if attempt else ""))
+            r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+            if r.returncode == 0:
+                log(f"rendered {mod}")
+                break
             log(f"FIGURE FAILED {mod}:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+            if attempt + 1 < attempts:
+                _wait_for_tpu()
         else:
-            log(f"rendered {mod}")
+            failed += 1
     return failed
 
 
@@ -679,7 +771,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", type=Path, default=REPO / "demo_zoo")
     ap.add_argument("--stage", choices=["data", "models", "compare", "sweep",
-                                        "stats", "figures", "fig1", "all"],
+                                        "stats", "figures", "fig1", "slbpfigs",
+                                        "all"],
                     default="all")
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--plot-checks", action="store_true")
@@ -708,21 +801,22 @@ def main():
                 tp["max_windows"] = 64
     out = args.out_dir
     out.mkdir(parents=True, exist_ok=True)
-    if args.stage in ("data", "fig1", "all"):
+    if args.stage in ("data", "fig1", "slbpfigs", "all"):
         gen_data(out)
-    if args.stage in ("models", "fig1", "all"):
+    if args.stage in ("models", "fig1", "slbpfigs", "all"):
         train_models(out, args.epochs,
-                     generalization_only=(args.stage == "fig1"))
+                     generalization_only=(args.stage == "fig1"),
+                     fig569_only=(args.stage == "slbpfigs"))
     if args.stage in ("compare", "fig1", "all"):
         train_compare_models(out)
     if args.stage in ("sweep", "stats", "all"):
         run_stats(out, plot_checks=args.plot_checks)
         summarize(out)
     failed = 0
-    if args.stage in ("figures", "fig1", "all"):
+    if args.stage in ("figures", "fig1", "slbpfigs", "all"):
         jobs = select_figure_jobs(out, args.stage)
-        if args.stage == "fig1" and not jobs:
-            log("fig1 job not schedulable: model_compare tree incomplete")
+        if args.stage in ("fig1", "slbpfigs") and not jobs:
+            log(f"{args.stage} jobs not schedulable: model tree incomplete")
             failed = 1
         failed += render_figures(out, jobs)
         write_manifest(out)

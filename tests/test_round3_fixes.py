@@ -276,6 +276,59 @@ def test_zoo_figure_jobs_gate_on_model_trees(tmp_path):
     assert mods[1].endswith("fig4_model_sensitivity")
 
 
+def test_zoo_figure_jobs_gate_fig569(tmp_path):
+    """figs 5/6/9 schedule only once their SLBP trees AND grid corpora exist
+    (fig5 needs the full D x total_time grid, fig9 only the increase cells)."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import reference_zoo as Z
+    from upgdm_tpu.figures.common import slbp_source_path
+
+    mods = [m for m, _ in Z.figure_jobs(tmp_path)]
+    assert not any(f"fig{n}" in m for m in mods for n in (5, 6, 9))
+
+    # models alone schedule fig6 but not the data-gated fig5/fig9
+    for m in ("NsDiff", "preg"):
+        d = tmp_path / "ews_results/NsDiff_machine" / m / "models"
+        d.mkdir(parents=True)
+        (d / "dataset_w200p200st100").write_bytes(b"ckpt")
+    t = tmp_path / "ews_results/NsDiff_trends/models"
+    t.mkdir(parents=True)
+    (t / "dataset__w200p200st100").write_bytes(b"ckpt")
+    mods = [m for m, _ in Z.figure_jobs(tmp_path)]
+    assert any("fig6" in m for m in mods)
+    assert not any("fig5" in m or "fig9" in m for m in mods)
+
+    # increase-only grid data unlocks fig9 but not fig5 (needs both trends)
+    for total, _f, _s in Z.FIG5_TIME_ROWS:
+        for dv in Z.FIG59_D_VALUES:
+            p = slbp_source_path(tmp_path / "dataset", total, "increase", dv)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(b"pt")
+    mods = [m for m, _ in Z.figure_jobs(tmp_path)]
+    assert any("fig9" in m for m in mods)
+    assert not any("fig5" in m for m in mods)
+
+    for total, _f, _s in Z.FIG5_TIME_ROWS:
+        for dv in Z.FIG59_D_VALUES:
+            p = slbp_source_path(tmp_path / "dataset", total, "decrease", dv)
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(b"pt")
+    jobs = {m: a for m, a in Z.figure_jobs(tmp_path)}
+    fig5 = next(a for m, a in jobs.items() if "fig5" in m)
+    assert "--time-rows" in fig5 and "800000.0:t8e5:20" in fig5
+    fig9 = next(a for m, a in jobs.items() if "fig9" in m)
+    assert "--noises" in fig9 and "5e-06" in fig9
+
+    # --stage slbpfigs selects exactly the three SLBP-tree figures
+    sel = sorted(m.split(".")[-1] for m, _ in
+                 Z.select_figure_jobs(tmp_path, "slbpfigs"))
+    assert sel == ["fig5_tipping_types", "fig6_slbp_model_analysis",
+                   "fig9_smoothing"]
+
+
 def test_zoo_stage_fig1_selects_only_fig1(tmp_path):
     """--stage fig1 renders exactly the fig1 job once the model_compare tree
     is complete, and selects nothing (stage fails) while it is incomplete;
@@ -300,3 +353,43 @@ def test_zoo_stage_fig1_selects_only_fig1(tmp_path):
     # full stages are unaffected by the fig1 filter
     full = [m for m, _ in Z.select_figure_jobs(tmp_path, "figures")]
     assert any("fig2" in m for m in full) and full[0].endswith("fig1_model_compare")
+
+
+def test_bounded_chunk_windows():
+    """DiffusionTS-style models cap window-rows per sampling call; models
+    without the attribute keep the caller's chunk (uncertainty sweeps on
+    30-node corpus records must not put 240 rows in one Langevin program)."""
+    from upgdm_tpu.eval.uncertainty import bounded_chunk_windows
+
+    class Capped:
+        eval_rows_per_call = 32
+
+    class Uncapped:
+        pass
+
+    net30 = np.zeros((100, 30, 100, 1), np.float32)  # [n, node, W, F]
+    flat = np.zeros((100, 1, 100, 1), np.float32)
+    assert bounded_chunk_windows(Capped(), net30, 8) == 1
+    assert bounded_chunk_windows(Capped(), flat, 8) == 8
+    assert bounded_chunk_windows(Capped(), flat, 64) == 32
+    assert bounded_chunk_windows(Uncapped(), net30, 8) == 8
+    # node > cap still dispatches one window at a time, never zero
+    net64 = np.zeros((10, 64, 100, 1), np.float32)
+    assert bounded_chunk_windows(Capped(), net64, 8) == 1
+
+
+def test_diffusionts_declares_eval_rows_cap():
+    from upgdm_tpu.models.diffusionts import DiffusionTSModel
+
+    m = DiffusionTSModel(dict(
+        dataset_nf=1, windows=8, pred_len=8, d_model=8, n_heads=2,
+        n_layer_enc=1, n_layer_dec=1, timesteps=4, diffusion_steps=4,
+        n_z_samples=4, task_model="DiffusionTS", scaler_type=None))
+    assert m.eval_rows_per_call == 32
+    assert m.eval_checkpoint_every == 4
+    m2 = DiffusionTSModel(dict(
+        dataset_nf=1, windows=8, pred_len=8, d_model=8, n_heads=2,
+        n_layer_enc=1, n_layer_dec=1, timesteps=4, diffusion_steps=4,
+        n_z_samples=4, task_model="DiffusionTS", scaler_type=None,
+        eval_rows_per_call=8))
+    assert m2.eval_rows_per_call == 8

@@ -21,6 +21,7 @@ and the window/cache helpers re-exported from ops.windows.
 from __future__ import annotations
 
 import os
+import sys
 from pathlib import Path
 from typing import List, Optional
 
@@ -523,6 +524,26 @@ def batched_gx(model, windows_array: np.ndarray, chunk_windows: int = 64) -> Lis
 # Cache-first runners (ref :323-422, :502-526, :731-765)
 # ---------------------------------------------------------------------------
 
+def bounded_chunk_windows(model, windows_array, chunk_windows):
+    """Per-call window chunk bounded by the model's validated program scale.
+
+    DiffusionTS declares ``eval_rows_per_call``: its Langevin sampler's
+    per-call memory and device time scale with window-rows x draws, and
+    network records multiply rows by the node count.  At the default
+    chunk_windows=8 a 30-node corpus record puts 240 rows x parallel_sample
+    draws in ONE device program — past the measured cliff where the remote
+    compile helper / 16 GB HBM give out (BENCH_DTS_SCALE.json: 32 rows x 100
+    draws crashes, 32 x 50 survives) and minutes of single-call device time
+    the TPU tunnel does not reliably survive.  Models without the attribute
+    keep the caller's chunk unchanged.
+    """
+    cap = getattr(model, "eval_rows_per_call", None)
+    if not cap:
+        return chunk_windows
+    node = windows_array.shape[1]
+    return max(1, min(chunk_windows, int(cap) // max(1, node)))
+
+
 def run_evaluation_cache(
     model, windows_array, pred_len, cache_path, device=None, force_recompute=False,
     max_windows=None, chunk_windows=8, checkpoint_every=32,
@@ -559,6 +580,8 @@ def run_evaluation_cache(
             tmp = partial_path.with_name(partial_path.name + ".tmp")
             uio.save_tensor_list(pred_future_list, tmp)
             tmp.replace(partial_path)
+            print(f"[sweep] {len(pred_future_list)}/{n} windows -> "
+                  f"{partial_path.name}", file=sys.stderr, flush=True)
     uio.save_tensor_list(pred_future_list, cache_path)
     partial_path.unlink(missing_ok=True)
     return pred_future_list
@@ -595,6 +618,8 @@ def run_diffstg_evaluation_cache(
             tmp = partial_path.with_name(partial_path.name + ".tmp")
             uio.save_tensor_list(out, tmp)
             tmp.replace(partial_path)
+            print(f"[sweep] {len(out)}/{len(iterable)} windows -> "
+                  f"{partial_path.name}", file=sys.stderr, flush=True)
     uio.save_tensor_list(out, cache_path)
     partial_path.unlink(missing_ok=True)
     return out
@@ -1307,7 +1332,9 @@ def uncertainty_ews(
                 raise ValueError("model_save_file is required with cache_mode='none'.")
             _load_model()
             arr = windows_array[:max_windows] if max_windows is not None else windows_array
-            mpv, pm = fast_mpv_sweep(model, arr, pred_len, chunk_windows=chunk_windows)
+            mpv, pm = fast_mpv_sweep(
+                model, arr, pred_len,
+                chunk_windows=bounded_chunk_windows(model, arr, chunk_windows))
             pred_future_list = None
             pred_mean_list = [float(v) for v in pm]
             uncertainty_ews_list = [float(v) for v in mpv]
@@ -1320,7 +1347,9 @@ def uncertainty_ews(
             pred_future_list = run_evaluation_cache(
                 model, windows_array, pred_len, cache_path, device=device,
                 force_recompute=force_recompute, max_windows=max_windows,
-                chunk_windows=chunk_windows,
+                chunk_windows=bounded_chunk_windows(model, windows_array,
+                                                    chunk_windows),
+                checkpoint_every=getattr(model, "eval_checkpoint_every", 32),
             )
         if pred_future_list is not None:
             summarize_model = model

@@ -50,6 +50,17 @@ class DiffusionTSModel(DiffusionWrapperBase):
         self.ff_weight = p.get("reg_weight") or math.sqrt(self.seq_length) / 5
         self.infill_coef = p.get("infill_coef", 1e-1)
         self.infill_lr = p.get("infill_learning_rate", 5e-2)
+        # Max window-rows per sampling call (eval.uncertainty.
+        # bounded_chunk_windows): the Langevin corrector's per-call memory
+        # and device time scale with rows x draws, so node-multiplied corpus
+        # chunks must shrink to keep one program at the bench-validated
+        # scale (BENCH_DTS_SCALE.json; 32 rows x parallel_sample=10 ~ the
+        # measured-safe 8-windows x n_z geometry).
+        self.eval_rows_per_call = p.get("eval_rows_per_call", 32)
+        # Langevin sweeps run minutes per window on network records; flush
+        # the evaluation-cache partial every few windows so a tunnel drop
+        # costs minutes of recompute, not the 32-window default interval
+        self.eval_checkpoint_every = p.get("eval_checkpoint_every", 4)
 
         self.sched = diffusionts_schedule(p.get("beta_schedule", "cosine"), self.timesteps)
         self.net = DTSTransformer(
