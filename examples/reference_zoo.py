@@ -716,7 +716,38 @@ def _wait_for_tpu(retries: int = 5, probe_timeout: int = 300, sleep_s: int = 120
     return False
 
 
-def render_figures(out: Path, jobs: list = None, attempts: int = 3) -> int:
+def _run_until_stalled(cmd, logf: Path, stall_timeout: int, poll_s: int = 60):
+    """Run a render subprocess, streaming output to ``logf``; kill it if it
+    makes NO observable progress (log growth) for ``stall_timeout`` seconds.
+
+    The TPU tunnel can die silently, leaving the client blocked forever on
+    one device fetch — a fixed wall-clock timeout either kills healthy
+    multi-hour sweeps or wastes hours on a hang, while log growth (the
+    [sweep] checkpoint lines, compile-cache writes, figure saves) separates
+    the two.  Returns the exit code, or "stalled"."""
+    with open(logf, "a") as fh:
+        fh.write(f"\n=== attempt: {' '.join(cmd)}\n")
+        fh.flush()
+        proc = subprocess.Popen(cmd, cwd=REPO, stdout=fh,
+                                stderr=subprocess.STDOUT)
+        last_size = logf.stat().st_size
+        last_progress = time.time()
+        while True:
+            try:
+                return proc.wait(timeout=poll_s)
+            except subprocess.TimeoutExpired:
+                pass
+            size = logf.stat().st_size
+            if size != last_size:
+                last_size, last_progress = size, time.time()
+            elif time.time() - last_progress > stall_timeout:
+                proc.kill()
+                proc.wait()
+                return "stalled"
+
+
+def render_figures(out: Path, jobs: list = None, attempts: int = 8,
+                   stall_timeout: int = 45 * 60) -> int:
     figs = out / "figures"
     if jobs is None:
         jobs = figure_jobs(out)
@@ -726,16 +757,22 @@ def render_figures(out: Path, jobs: list = None, attempts: int = 3) -> int:
                "--ews-root", str(out / "ews_results"),
                "--source-root", str(out / "dataset"),
                "--output-dir", str(figs), *extra]
-        # the TPU tunnel occasionally drops mid-sweep ("TPU worker process
-        # crashed"); the long-ensemble sweeps checkpoint, so a bounded retry
-        # resumes from the last chunk instead of failing the whole stage
+        # The TPU tunnel occasionally drops mid-sweep, either loudly ("TPU
+        # worker process crashed") or as a silent hang on one fetch; the
+        # long-ensemble sweeps checkpoint, so stall detection plus retry
+        # resumes from the last flushed chunk instead of failing (or
+        # hanging) the whole stage.
+        figs.mkdir(parents=True, exist_ok=True)
+        logf = figs / (mod.rsplit(".", 1)[-1] + ".log")
         for attempt in range(attempts):
-            log("render " + mod + (f" (retry {attempt})" if attempt else ""))
-            r = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
-            if r.returncode == 0:
+            log("render " + mod + (f" (retry {attempt})" if attempt else "")
+                + f" -> {logf}")
+            code = _run_until_stalled(cmd, logf, stall_timeout)
+            if code == 0:
                 log(f"rendered {mod}")
                 break
-            log(f"FIGURE FAILED {mod}:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+            log(f"FIGURE FAILED {mod} (exit {code}; tail of {logf}):")
+            log(logf.read_text()[-2000:])
             if attempt + 1 < attempts:
                 _wait_for_tpu()
         else:

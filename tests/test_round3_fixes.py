@@ -393,3 +393,31 @@ def test_diffusionts_declares_eval_rows_cap():
         n_z_samples=4, task_model="DiffusionTS", scaler_type=None,
         eval_rows_per_call=8))
     assert m2.eval_rows_per_call == 8
+
+
+def test_run_until_stalled(tmp_path):
+    """Zoo render attempts stream to a log and are killed only when the log
+    stops growing (silent tunnel hang), not while making progress."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import reference_zoo as Z
+
+    logf = tmp_path / "r.log"
+    # healthy fast exit
+    code = Z._run_until_stalled(
+        [_sys.executable, "-c", "print('ok')"], logf, stall_timeout=5,
+        poll_s=1)
+    assert code == 0 and "ok" in logf.read_text()
+    # nonzero exit propagates
+    code = Z._run_until_stalled(
+        [_sys.executable, "-c", "raise SystemExit(3)"], logf,
+        stall_timeout=5, poll_s=1)
+    assert code == 3
+    # silent hang -> stalled kill; prior output is preserved in the log
+    code = Z._run_until_stalled(
+        [_sys.executable, "-c",
+         "import time; print('start', flush=True); time.sleep(60)"],
+        logf, stall_timeout=2, poll_s=1)
+    assert code == "stalled" and "start" in logf.read_text()
