@@ -178,8 +178,8 @@ def measure_cpu_baseline(n_windows: int = 2) -> float:
     return rate
 
 
-def wait_for_accelerator(retries: int = 6, probe_timeout: int = 300,
-                         sleep_s: int = 120) -> bool:
+def wait_for_accelerator(retries: int = 4, probe_timeout: int = 560,
+                         sleep_s: int = 30) -> bool:
     """Bounded wait for the TPU terminal (it occasionally drops for minutes).
 
     Round-end bench runs are unattended; rather than hanging forever on
@@ -187,6 +187,11 @@ def wait_for_accelerator(retries: int = 6, probe_timeout: int = 300,
     in a short-lived subprocess — it exits before the real run starts, so it
     never holds the single TPU session grant — and retry with backoff.
     Returns False after ~40 min so the real run surfaces the actual error.
+
+    Probe timeout is sized to the measured cold start: on a fresh machine the
+    FIRST tiny compile+fetch can take ~10 min end-to-end (device list appears
+    in seconds, then the remote terminal pool warms) — one 560 s probe failed
+    and the next succeeded, so fewer/longer probes beat many short ones.
     """
     import subprocess
 
