@@ -698,10 +698,15 @@ def select_figure_jobs(out: Path, stage: str) -> list:
     return jobs
 
 
-def _wait_for_tpu(retries: int = 5, probe_timeout: int = 300, sleep_s: int = 120):
+def _wait_for_tpu(retries: int = 4, probe_timeout: int = 560, sleep_s: int = 30):
     """Bounded wait for the TPU terminal after a worker crash (bench.py's
     wait_for_accelerator pattern): probe in a short-lived subprocess so the
-    probe never holds the single TPU session grant."""
+    probe never holds the single TPU session grant.
+
+    Probes are sized to the measured ~10 min cold start (see bench.py): a
+    timed-out probe's killed client leaves a stale grant that blocks the next
+    client for minutes, so many short probes can fail in a self-perpetuating
+    loop where fewer long ones succeed."""
     code = "import jax, jax.numpy as jnp; print(float(jnp.ones((8, 128)).sum()))"
     for i in range(retries):
         try:
