@@ -37,6 +37,7 @@ STEPS = 20
 N_Z = 100
 N_BENCH_WINDOWS = 64
 CHUNK = 16  # measured sweet spot on v5e through the tunnel (chunk sweep 8/16/32)
+REGRESSION_FLOOR_WINDOWS_HR = 110_000  # committed tree measures 117-119k run-to-run
 
 NET_PARAM = dict(
     dataset_nf=1, windows=WINDOWS, pred_len=PRED_LEN, rolling_length=50,
@@ -178,7 +179,7 @@ def measure_cpu_baseline(n_windows: int = 2) -> float:
     return rate
 
 
-def wait_for_accelerator(retries: int = 4, probe_timeout: int = 560,
+def wait_for_accelerator(retries: int = 4, probe_timeout: int = 660,
                          sleep_s: int = 30) -> bool:
     """Bounded wait for the TPU terminal (it occasionally drops for minutes).
 
@@ -188,10 +189,11 @@ def wait_for_accelerator(retries: int = 4, probe_timeout: int = 560,
     never holds the single TPU session grant — and retry with backoff.
     Returns False after ~40 min so the real run surfaces the actual error.
 
-    Probe timeout is sized to the measured cold start: on a fresh machine the
-    FIRST tiny compile+fetch can take ~10 min end-to-end (device list appears
-    in seconds, then the remote terminal pool warms) — one 560 s probe failed
-    and the next succeeded, so fewer/longer probes beat many short ones.
+    Probe timeout is sized ABOVE the measured ~10 min cold start (device list
+    appears in seconds, then the remote terminal pool warms): a probe that
+    times out just under it kills its client mid-grant, leaving a stale
+    session grant that blocks the NEXT probe for minutes — so a single
+    660 s probe succeeds where repeated 560 s probes fail in a loop.
     """
     import subprocess
 
@@ -211,6 +213,23 @@ def wait_for_accelerator(retries: int = 4, probe_timeout: int = 560,
     return False
 
 
+def bench_result(tpu_rate: float, cpu_rate: float) -> dict:
+    """Headline JSON record incl. the regression gate.
+
+    Regression floor: the committed tree measures 117-119k windows/hr
+    run-to-run (BENCH_r03.json); below 110k means a refactor gave back real
+    throughput, not noise — flag it (and main() exits nonzero) so CI-style
+    consumers can't silently absorb it.
+    """
+    return {
+        "metric": "NsDiff sampling-MPV end-to-end throughput",
+        "value": round(tpu_rate, 1),
+        "unit": "windows/hr",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "regression": bool(tpu_rate < REGRESSION_FLOOR_WINDOWS_HR),
+    }
+
+
 def main():
     import argparse
 
@@ -222,16 +241,12 @@ def main():
         print("# accelerator still unavailable; attempting the run anyway",
               file=sys.stderr)
     tpu_rate = measure_tpu(profile_dir=args.profile)
-    print(
-        json.dumps(
-            {
-                "metric": "NsDiff sampling-MPV end-to-end throughput",
-                "value": round(tpu_rate, 1),
-                "unit": "windows/hr",
-                "vs_baseline": round(tpu_rate / cpu_rate, 2),
-            }
-        )
-    )
+    result = bench_result(tpu_rate, cpu_rate)
+    print(json.dumps(result))
+    if result["regression"]:
+        print(f"# REGRESSION: {tpu_rate:.0f} windows/hr is below the "
+              f"{REGRESSION_FLOOR_WINDOWS_HR} floor", file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -651,15 +651,19 @@ def figure_jobs(out: Path) -> list:
            for fam in ("NsDiff", "DiffSTG", "DiffusionTS", "TMDM")):
         jobs.append(("upgdm_tpu.figures.fig1_model_compare",
                      ["--trend", "increase", "--graph", "barabasi_albert_30_0"]))
-    if (out / "ews_results/NsDiff_pred/models/dataset__w200p1000st100").exists():
-        jobs.append(("upgdm_tpu.figures.fig4_model_sensitivity",
-                     ["--trend", "increase"] + slbp))
-    jobs += [
-        ("upgdm_tpu.figures.fig2_graph_generalization", ["--trend", "increase"]),
-        ("upgdm_tpu.figures.fig3_dynamics_transfer", ["--trend", "increase"]),
-        ("upgdm_tpu.figures.fig7_train_analysis", ["--trend", "increase"] + slbp),
-        ("upgdm_tpu.figures.fig8_train_source", slbp + ["--train-end", train_end]),
-    ]
+    # two-trend renders, matching the reference figure CLIs' --trend contract
+    # (paper_figures/common.py:24-28)
+    for trend in TRENDS:
+        if (out / "ews_results/NsDiff_pred/models/dataset__w200p1000st100").exists():
+            jobs.append(("upgdm_tpu.figures.fig4_model_sensitivity",
+                         ["--trend", trend] + slbp))
+        jobs += [
+            ("upgdm_tpu.figures.fig2_graph_generalization", ["--trend", trend]),
+            ("upgdm_tpu.figures.fig3_dynamics_transfer", ["--trend", trend]),
+            ("upgdm_tpu.figures.fig7_train_analysis", ["--trend", trend] + slbp),
+        ]
+    jobs.append(
+        ("upgdm_tpu.figures.fig8_train_source", slbp + ["--train-end", train_end]))
     # figs 5/6/9 (SLBP trees + the FIG5 grid corpora, zoo-scale args)
     ds = out / "dataset"
     machine = out / "ews_results/NsDiff_machine"
@@ -698,7 +702,7 @@ def select_figure_jobs(out: Path, stage: str) -> list:
     return jobs
 
 
-def _wait_for_tpu(retries: int = 4, probe_timeout: int = 560, sleep_s: int = 30):
+def _wait_for_tpu(retries: int = 4, probe_timeout: int = 660, sleep_s: int = 30):
     """Bounded wait for the TPU terminal after a worker crash (bench.py's
     wait_for_accelerator pattern): probe in a short-lived subprocess so the
     probe never holds the single TPU session grant.
