@@ -93,8 +93,15 @@ SYSTEMS = {
                     base_params={"r": 0.7, "k": 10.0, "d": 0.05}, eta=0.005,
                     total_time=3000.0, burn_time=100.0, sampling_t=10,
                     dt=0.1, save_every=1),
+    # mu MUST be 1.5 (spdata_sde_neuronal_dynamic_gene.py:271 base_params):
+    # at mu=3.0 the sigmoid coupling is dead (sigmoid(2*(x-3))~0.02 near the
+    # low state), the high-activity branch is never reached and NO transition
+    # exists — trajectories are flat noise and MPV collapse has nothing to
+    # detect (round-3's "honest row" neuronal weakness was exactly this).
+    # With mu=1.5 both trends tip hard: increase 5.26->0 at eps~0.57,
+    # decrease 0->5.26 at eps~0.45 (verified by simulation, round 4).
     "neuronal": dict(control_range=(0.0, 1.0),
-                     base_params={"tau": 2.0, "mu": 3.0}, eta=0.01,
+                     base_params={"tau": 2.0, "mu": 1.5}, eta=0.01,
                      total_time=3000.0, burn_time=100.0, sampling_t=10,
                      dt=0.1, save_every=1),
     "SIS": dict(control_range=(1e-4, 0.5), base_params={"d": 0.5}, eta=1e-4,

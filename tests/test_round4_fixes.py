@@ -37,6 +37,39 @@ def test_probe_timeouts_cover_cold_start():
         assert sig.parameters["probe_timeout"].default > 600, fn
 
 
+def test_neuronal_params_match_reference_generator():
+    """Zoo + CLI neuronal physics must match the reference generator
+    (spdata_sde_neuronal_dynamic_gene.py:268-271: tau 2.0 grid head, mu=1.5,
+    eta 1e-2): mu=3.0 kills the bistability — sigmoid coupling never ignites,
+    no transition exists, and MPV collapse has nothing to detect (the
+    round-3 neuronal weakness)."""
+    import reference_zoo as Z
+    from upgdm_tpu.data.generate import _SYSTEM_DEFAULTS
+
+    for cfg in (Z.SYSTEMS["neuronal"], _SYSTEM_DEFAULTS["neuronal"]):
+        assert cfg["base_params"]["mu"] == 1.5
+        assert cfg["base_params"]["tau"] == 2.0
+        assert cfg["eta"] == 0.01
+
+
+def test_neuronal_mu15_transitions():
+    """With mu=1.5 the neuronal system starts on the high-activity branch and
+    tips to the low state inside the eps in (0,1) ramp (increase trend)."""
+    import networkx as nx
+    import numpy as np
+
+    from upgdm_tpu.data.sde import simulate_network_system
+
+    adj = nx.to_numpy_array(nx.barabasi_albert_graph(20, 3, seed=0))
+    rec = simulate_network_system(
+        "neuronal", adj, trend="increase", control_range=(0.0, 1.0),
+        base_params={"tau": 2.0, "mu": 1.5}, eta=0.01,
+        total_time=2000.0, burn_time=100.0, dt=0.1, seed=3, save_every=10)
+    m = np.asarray(rec["ys_dynamic"]).mean(axis=1)
+    assert m[:50].mean() > 2.0, "high-activity branch not reached after burn-in"
+    assert m[-50:].mean() < 0.5, "no collapse to the low state before eps=1"
+
+
 def test_zoo_figure_jobs_render_both_trends(tmp_path):
     """figs 2/3/7 (and fig4 once its tree exists) schedule one render per
     trend, matching the reference CLIs' two-trend contract

@@ -24,10 +24,19 @@ from .sde import simulate_network_system, simulate_slbp
 __all__ = ["generate_network_dataset", "generate_slbp_dataset", "main"]
 
 _SYSTEM_DEFAULTS = {
-    # control_range & physics defaults per the reference __main__ grids
-    "SIS": dict(control_range=(1e-4, 0.5), base_params={"d": 1.0}, eta=0.01),
-    "biomass": dict(control_range=(0.0, 4.0), base_params={"r": 1.0, "k": 10.0, "d": 0.05}, eta=0.05),
-    "neuronal": dict(control_range=(0.0, 1.0), base_params={"tau": 1.0, "mu": 3.0}, eta=0.05),
+    # physics defaults = the combination each paper figure consumes
+    # (paper_figures/common.py:41-45 filenames + the generator __main__
+    # grids' first entries).  Control ranges span the transition; the
+    # shipped reference __main__ ramps are partly degenerate leftovers
+    # (spdata_sde_biomass_dynamic_gene.py:276-277 has eps_min=eps_max=1.0,
+    # i.e. no ramp at all), so ranges are chosen to bracket the tipping
+    # point of each system.  biomass d=0.05 (vs the shipped grid's 0.5,
+    # :270) keeps dt=0.1 Euler stable on 100-node BA hubs.
+    "SIS": dict(control_range=(1e-4, 0.5), base_params={"d": 0.5}, eta=1e-4),
+    "biomass": dict(control_range=(0.0, 4.0), base_params={"r": 0.7, "k": 10.0, "d": 0.05}, eta=0.005),
+    # mu=1.5 per spdata_sde_neuronal_dynamic_gene.py:271 — mu=3.0 kills the
+    # bistability (no transition; see examples/reference_zoo.py SYSTEMS)
+    "neuronal": dict(control_range=(0.0, 1.0), base_params={"tau": 2.0, "mu": 1.5}, eta=0.01),
 }
 
 
