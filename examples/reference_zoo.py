@@ -645,6 +645,114 @@ def summarize(out: Path):
 
 
 # ===========================================================================
+# stage: real (Bury-sim training corpus -> simulation model -> bury probs ->
+# real-systems composite; real_systems_experiment.py + run_bury_ml_baseline)
+# ===========================================================================
+
+REAL_DATA_NAMES = tuple(f"bury_2021_anoxia_tsid_{i}" for i in (3, 6, 9))
+N_BURY_SERIES = 96        # training-sim corpus size (Bury protocol, ts_500)
+BURY_MAX_MODELS = None    # cap the 20-classifier ensemble (tests/tiny runs)
+
+
+def gen_real_data(out: Path):
+    """Training corpus + empirical stand-in records for the real-data chain.
+
+    The simulation model trains on a Bury-2021-protocol corpus
+    (data/bury_sim.py; the reference consumed Bury's published archive at
+    dataset/bury_2021_training_data2, not shipped).  The anoxia records are
+    real sediment measurements that cannot be redistributed or fetched here,
+    so zoo-scale STAND-INS are cut from the zoo SLBP trajectory exactly like
+    the reference's records present: a sparse univariate series ending
+    shortly after a located transition, transition_time stamped."""
+    ds = out / "dataset"
+    from upgdm_tpu.data.bury_sim import generate_bury_training_corpus
+
+    n = len(generate_bury_training_corpus(
+        ds / "bury_2021_training_data2", n_series=N_BURY_SERIES,
+        seed=stable_seed("bury")))
+    log(f"bury training corpus: {n} series")
+
+    from upgdm_tpu.figures.mpv_collapse import locate_transition
+
+    src = slbp_source_path(ds, SLBP_TOTAL, "increase", SLBP_D)
+    rec = load_pt(src)
+    ys = np.asarray(rec["ys_dynamic"], np.float32)
+    ts = np.asarray(rec["ts_dynamic"], np.float32).ravel()
+    for i, name in enumerate(REAL_DATA_NAMES):
+        path = ds / "real_data" / f"{name}.pt"
+        if path.exists():
+            continue
+        dim = i % ys.shape[1]
+        tr = locate_transition(ts, ys[:, dim], "SLBP", "increase")
+        t_end = float(tr["transition_time"]) + (0.05 + 0.03 * i) * (ts[-1] - ts[0])
+        keep = ts <= t_end
+        stride = max(1, int(keep.sum()) // (500 + 100 * i))
+        sub_y, sub_t = ys[keep][::stride], ts[keep][::stride]
+        save_pt({"name": name, "ys_dynamic": sub_y[:, dim:dim + 1],
+                 "ts_dynamic": sub_t,
+                 "transition_time": float(tr["transition_time"]),
+                 "data_type": "slbp_standin"}, path)
+        log(f"empirical stand-in {name} ({len(sub_t)} points)")
+
+
+def train_real_model(out: Path, epochs: int):
+    """NsDiff at the reference real-data dims (real_data/model/simulation
+    model_trained.yaml: d512 w200 p200 interval 10, scaler None — the Bury
+    residual series arrive pre-standardized)."""
+    target = out / "ews_results/real_data/model/simulation"
+    if (target / "model_trained").exists():
+        return
+    from upgdm_tpu.utils.data_prep import pre_dataset_timeseries_real
+
+    ds = out / "dataset"
+    dataset_param = dict(
+        file_path=str(ds / "bury_2021_training_data2"), filter="ts_500",
+        windows=200, pred_len=200, interval_step=10, sampling_t=0.1,
+        STG_exist=False)
+    flat = pre_dataset_timeseries_real(**dataset_param)
+    net = dict(REF_NET, dataset_nf=1, windows=200, pred_len=200,
+               scaler_type=None)
+    trained = _train(flat, net, "NsDiff_model", out / "_scratch/real_sim",
+                     epochs, seed=stable_seed("real_sim"),
+                     dataset_param=dataset_param)
+    _install(trained, target)
+    log(f"trained real_data/model/simulation ({len(flat)} windows)")
+
+
+def run_real_chain(out: Path):
+    """Bury-2021 classifier probabilities + the real-systems composite."""
+    from upgdm_tpu.eval import bury
+    from upgdm_tpu.figures import real_systems
+
+    ds, ews, figs = out / "dataset", out / "ews_results", out / "figures"
+    probs_root = ews / "bury_2021_ml_probs"
+    missing = [n for n in REAL_DATA_NAMES
+               if not list(probs_root.rglob(f"{n}_bury_ml_probs.csv"))]
+    if missing:
+        argv = [
+            "--data-root", str(ds / "real_data"),
+            "--output-root", str(probs_root),
+            "--data-real-names", *missing,
+            "--classifier-len", "500",
+        ]
+        if BURY_MAX_MODELS:
+            argv += ["--max-models", str(BURY_MAX_MODELS)]
+        bury.main(argv)
+        log(f"bury probabilities: {missing}")
+    real_systems.main([
+        "--data-real-names", *REAL_DATA_NAMES,
+        "--output-dir", str(figs),
+        "--data-root", str(ds / "real_data"),
+        "--real-data-result-root", str(ews / "real_data"),
+        "--bury-prob-root", str(probs_root),
+        "--model-dir", str(ews / "real_data/model/simulation"),
+        "--signals", "model_uncertainty", "model_trend", "ar1", "variance",
+        "sample-entropy-1", "bury_ml",
+    ])
+    log("real-systems composite rendered")
+
+
+# ===========================================================================
 # stage: figures (2/3/8 from the new zoo)
 # ===========================================================================
 
@@ -820,12 +928,12 @@ def write_manifest(out: Path):
 
 
 def main():
-    global CORPUS_GRAPHS, REF_NET, SLBP_TOTAL
+    global CORPUS_GRAPHS, REF_NET, SLBP_TOTAL, N_BURY_SERIES, BURY_MAX_MODELS
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", type=Path, default=REPO / "demo_zoo")
     ap.add_argument("--stage", choices=["data", "models", "compare", "sweep",
                                         "stats", "figures", "fig1", "slbpfigs",
-                                        "all"],
+                                        "real", "all"],
                     default="all")
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--plot-checks", action="store_true")
@@ -837,6 +945,8 @@ def main():
         REF_NET = dict(REF_NET, d_model=16, n_heads=2, e_layers=1, d_layers=1,
                        d_ff=16, p_hidden_dims=[8, 8], n_z_samples=8)
         SLBP_TOTAL = "200000.0"
+        N_BURY_SERIES = 6
+        BURY_MAX_MODELS = 2
         args.epochs = 1
         COMPARE_NETS["TMDM"].update(d_model=16, n_heads=2, e_layers=1,
                                     d_layers=1, d_ff=16, p_hidden_dims=[8, 8],
@@ -862,6 +972,10 @@ def main():
                      fig569_only=(args.stage == "slbpfigs"))
     if args.stage in ("compare", "fig1", "all"):
         train_compare_models(out)
+    if args.stage in ("real", "all"):
+        gen_real_data(out)
+        train_real_model(out, args.epochs)
+        run_real_chain(out)
     if args.stage in ("sweep", "stats", "all"):
         run_stats(out, plot_checks=args.plot_checks)
         summarize(out)

@@ -70,6 +70,67 @@ def test_neuronal_mu15_transitions():
     assert m[-50:].mean() < 0.5, "no collapse to the low state before eps=1"
 
 
+def test_bury_sim_corpus_properties(tmp_path):
+    """Bury-protocol training series: standardized residuals, deterministic
+    resume, forced runs show rising variance toward the tip."""
+    import numpy as np
+
+    from upgdm_tpu.data.bury_sim import generate_bury_training_corpus
+    from upgdm_tpu.utils.io import load_pt
+
+    paths = generate_bury_training_corpus(tmp_path, n_series=6, seed=1)
+    assert len(paths) == 6
+    rec = load_pt(paths[0])
+    ys = np.asarray(rec["ys_dynamic"])
+    assert ys.shape == (500, 1) and np.isfinite(ys).all()
+    assert abs(ys.std() - 1.0) < 1e-3
+    # resume keeps names and is a no-op on existing files
+    again = generate_bury_training_corpus(tmp_path, n_series=6, seed=1)
+    assert [p.name for p in again] == [p.name for p in paths]
+
+
+def test_zoo_real_chain_tiny(tmp_path):
+    """The zoo 'real' stage end-to-end at tiny dims: bury-sim corpus ->
+    simulation NsDiff -> bury classifier probs -> real-systems composite
+    (real_systems_experiment.py + run_bury_ml_baseline.py surfaces)."""
+    import numpy as np
+
+    import reference_zoo as Z
+    from upgdm_tpu.data.sde import simulate_slbp
+    from upgdm_tpu.figures.common import slbp_source_path
+    from upgdm_tpu.utils.io import save_pt
+
+    saved = {k: getattr(Z, k) for k in
+             ("REF_NET", "SLBP_TOTAL", "N_BURY_SERIES", "BURY_MAX_MODELS")}
+    try:
+        Z.REF_NET = dict(Z.REF_NET, d_model=16, n_heads=2, e_layers=1,
+                         d_layers=1, d_ff=16, p_hidden_dims=[8, 8],
+                         n_z_samples=4, parallel_sample=2)
+        Z.SLBP_TOTAL = "40000.0"
+        Z.N_BURY_SERIES = 6
+        Z.BURY_MAX_MODELS = 2
+        rec = simulate_slbp(params={"D": 1e-05}, trend="increase",
+                            total_time=40000.0, burn_time=100.0, dt=0.1,
+                            seed=0, save_every=10)
+        save_pt(rec, slbp_source_path(tmp_path / "dataset", Z.SLBP_TOTAL,
+                                      "increase", Z.SLBP_D))
+        Z.gen_real_data(tmp_path)
+        for name in Z.REAL_DATA_NAMES:
+            assert (tmp_path / "dataset/real_data" / f"{name}.pt").exists()
+        Z.train_real_model(tmp_path, epochs=1)
+        model_dir = tmp_path / "ews_results/real_data/model/simulation"
+        assert (model_dir / "model_trained").exists()
+        Z.run_real_chain(tmp_path)
+        probs = list((tmp_path / "ews_results/bury_2021_ml_probs").rglob(
+            "*_bury_ml_probs.csv"))
+        assert len(probs) == len(Z.REAL_DATA_NAMES)
+        fig = tmp_path / "figures/real_systems_figure.png"
+        assert fig.exists() and fig.stat().st_size > 0
+    finally:
+        for k, v in saved.items():
+            setattr(Z, k, v)
+
+
 def test_zoo_figure_jobs_render_both_trends(tmp_path):
     """figs 2/3/7 (and fig4 once its tree exists) schedule one render per
     trend, matching the reference CLIs' two-trend contract
