@@ -39,7 +39,9 @@ SYSTEMS = {
     "biomass": dict(control_range=(0.0, 4.0),
                     base_params={"r": 0.7, "k": 10.0, "d": 0.05}, eta=0.005),
     "neuronal": dict(control_range=(0.0, 1.0),
-                     base_params={"tau": 2.0, "mu": 3.0}, eta=0.01),
+                     # mu=1.5 per the reference generator — mu=3.0 kills the
+                     # bistability (no transition; see reference_zoo SYSTEMS)
+                     base_params={"tau": 2.0, "mu": 1.5}, eta=0.01),
     "SIS": dict(control_range=(1e-4, 0.5), base_params={"d": 0.5}, eta=1e-4),
 }
 

@@ -74,7 +74,9 @@ SYSTEMS = {
                     base_params={"r": 0.7, "k": 10.0, "d": 0.05}, eta=0.005,
                     total_time=3000.0, burn_time=100.0, sampling_t=10),
     "neuronal": dict(control_range=(0.0, 1.0),
-                     base_params={"tau": 2.0, "mu": 3.0}, eta=0.01,
+                     # mu=1.5 per the reference generator — mu=3.0 kills the
+                     # bistability (no transition; see reference_zoo SYSTEMS)
+                     base_params={"tau": 2.0, "mu": 1.5}, eta=0.01,
                      total_time=3000.0, burn_time=100.0, sampling_t=10),
     "SIS": dict(control_range=(1e-4, 0.5), base_params={"d": 0.5}, eta=1e-4,
                 total_time=40.0, burn_time=20.0, sampling_t=0.1),

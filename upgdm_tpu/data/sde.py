@@ -64,7 +64,15 @@ def sis_drift(y, eps, adj, d=1.0):
     return -d * y + eps * (1.0 - y) * (adj @ y)
 
 
-def neuronal_drift(y, eps, adj, tau=1.0, mu=3.0):
+def neuronal_drift(y, eps, adj, tau=2.0, mu=1.5):
+    """Wilson–Cowan-style networked neuronal dynamics.
+
+    Defaults match the reference generator's fixed parameters
+    (spdata_sde_neuronal_dynamic_gene.py:268-271: tau grid head 2.0,
+    mu=1.5).  mu=1.5 is load-bearing: it places the sigmoid threshold low
+    enough that the coupled high-activity branch exists, so ramping eps
+    0->1 destabilizes it and the system tips; at mu=3.0 the coupling never
+    ignites and there is no transition at all."""
     return -y + (1.0 - eps) * (adj @ jax.nn.sigmoid(tau * (y - mu)))
 
 
