@@ -30,8 +30,12 @@ _SYSTEM_DEFAULTS = {
     # shipped reference __main__ ramps are partly degenerate leftovers
     # (spdata_sde_biomass_dynamic_gene.py:276-277 has eps_min=eps_max=1.0,
     # i.e. no ramp at all), so ranges are chosen to bracket the tipping
-    # point of each system.  biomass d=0.05 (vs the shipped grid's 0.5,
-    # :270) keeps dt=0.1 Euler stable on 100-node BA hubs.
+    # point of each system.  biomass d: the shipped grid says 0.5 (:270)
+    # but d is behaviorally irrelevant here — nodes synchronize onto the
+    # same branch so the diffusive coupling term vanishes; measured
+    # transitions at d=0.05 and d=0.5 are identical to <1% on BA-30/BA-100
+    # (round-4 probe), and the degenerate main means the grid isn't
+    # authoritative anyway.  d=0.05 (the committed-corpus value) stays.
     "SIS": dict(control_range=(1e-4, 0.5), base_params={"d": 0.5}, eta=1e-4),
     "biomass": dict(control_range=(0.0, 4.0), base_params={"r": 0.7, "k": 10.0, "d": 0.05}, eta=0.005),
     # mu=1.5 per spdata_sde_neuronal_dynamic_gene.py:271 — mu=3.0 kills the
