@@ -70,6 +70,34 @@ def test_neuronal_mu15_transitions():
     assert m[-50:].mean() < 0.5, "no collapse to the low state before eps=1"
 
 
+def test_load_model_from_dir_cache(tmp_path):
+    """Repeat loads of the same checkpoint return the SAME model object
+    (weights + jit caches shared across a corpus sweep); a touched
+    checkpoint or different infer_params misses; config dicts are copies."""
+    import os
+
+    import upgdm_tpu.eval.uncertainty as U
+
+    src = REPO / "demo_artifacts/model"
+    if not (src / "model_trained").exists():
+        import pytest
+
+        pytest.skip("demo_artifacts fixture not present")
+    m1, np1 = U.load_model_from_dir(src)
+    m2, np2 = U.load_model_from_dir(src)
+    assert m1 is m2
+    assert np1 == np2 and np1 is not np2
+    np1["windows"] = -99  # caller mutation must not poison the cache
+    _, np3 = U.load_model_from_dir(src)
+    assert np3["windows"] != -99
+    m4, _ = U.load_model_from_dir(src, infer_params={"n_z_samples": 7})
+    assert m4 is not m1
+    # touching the checkpoint invalidates
+    os.utime(src / "model_trained")
+    m5, _ = U.load_model_from_dir(src)
+    assert m5 is not m1
+
+
 def test_bury_sim_corpus_properties(tmp_path):
     """Bury-protocol training series: standardized residuals, deterministic
     resume, forced runs show rising variance toward the tip."""

@@ -111,8 +111,42 @@ def read_model_config(model_save_file):
     return uio.read_model_config(model_save_file)
 
 
-def load_model_from_dir(model_save_file, device=None, infer_params=None, method_config=None):
+#: corpus sweeps (figures/mpv_collapse.py) call uncertainty_ews once per
+#: trajectory with the same per-dynamics model dir — without a cache every
+#: call rebuilds the d512 model and re-ships ~42 MB of weights through the
+#: tunnel (TPU-extra; the reference reloads per file too,
+#: mpv_collapse_summary.py:482-571).  Keyed by checkpoint identity
+#: (path + mtime + size) and infer_params, so retrained checkpoints and
+#: differing inference overrides never alias.  Small LRU: the corpus
+#: alternates between at most a few per-dynamics models.
+_MODEL_CACHE: "OrderedDict" = None  # initialized below
+_MODEL_CACHE_SIZE = 3
+
+
+def load_model_from_dir(model_save_file, device=None, infer_params=None,
+                        method_config=None, use_cache=True):
+    global _MODEL_CACHE
+    if _MODEL_CACHE is None:
+        from collections import OrderedDict
+
+        _MODEL_CACHE = OrderedDict()
     model_save_file = Path(model_save_file)
+    ckpt = model_save_file / "model_trained"
+    key = None
+    if use_cache and method_config is None and ckpt.exists():
+        st = ckpt.stat()
+        key = (
+            str(model_save_file.resolve()), st.st_mtime_ns, st.st_size,
+            None if infer_params is None
+            else repr(sorted(infer_params.items())),
+        )
+        hit = _MODEL_CACHE.get(key)
+        if hit is not None:
+            _MODEL_CACHE.move_to_end(key)
+            model, net_param = hit
+            # callers may mutate the returned config dict; the model (params
+            # + jit caches) is deliberately shared
+            return model, dict(net_param)
     method_config = method_config or read_model_config(model_save_file)
     train_model_select = None
     if method_config.get("train") is not None:
@@ -126,6 +160,10 @@ def load_model_from_dir(model_save_file, device=None, infer_params=None, method_
         train_model_select=train_model_select,
     )
     model.load_state_dict(state_dict)
+    if key is not None:
+        _MODEL_CACHE[key] = (model, dict(net_param))
+        while len(_MODEL_CACHE) > _MODEL_CACHE_SIZE:
+            _MODEL_CACHE.popitem(last=False)
     return model, net_param
 
 
