@@ -100,9 +100,15 @@ SYSTEMS = {
     # detect (round-3's "honest row" neuronal weakness was exactly this).
     # With mu=1.5 both trends tip hard: increase 5.26->0 at eps~0.57,
     # decrease 0->5.26 at eps~0.45 (verified by simulation, round 4).
+    # total_time MUST stay at the reference's 10000 (:275): the w100+p100
+    # analysis window spans 2000 time units, so a 3000-unit trajectory has
+    # almost no pre-transition MPV points (decrease tips at t~300-1650 and
+    # the first MPV point sits at t=990 — 50/120 files skipped, leads a
+    # coin flip), and the 3.3x faster ramp blurs the pre-transition MPV
+    # decline below the baseline resolution (measured round 4).
     "neuronal": dict(control_range=(0.0, 1.0),
                      base_params={"tau": 2.0, "mu": 1.5}, eta=0.01,
-                     total_time=3000.0, burn_time=100.0, sampling_t=10,
+                     total_time=10000.0, burn_time=100.0, sampling_t=10,
                      dt=0.1, save_every=1),
     "SIS": dict(control_range=(1e-4, 0.5), base_params={"d": 0.5}, eta=1e-4,
                 total_time=40.0, burn_time=20.0, sampling_t=0.1,
