@@ -597,12 +597,19 @@ def train_compare_models(out: Path):
 # stage: sweep + stats (corpus MPV-collapse statistics)
 # ===========================================================================
 
-def run_stats(out: Path, plot_checks: bool = False):
+def run_stats(out: Path, plot_checks: bool = False, attempts: int = 8,
+              stall_timeout: int = 20 * 60):
     """mpv_collapse over the full corpus: the gx-MPV of the per-dynamics
     d512 models scanned over every corpus trajectory (360 at the current
-    60-graph scale; mpv_collapse_summary.py corpus loop :162-189)."""
-    from upgdm_tpu.figures import mpv_collapse as M
+    60-graph scale; mpv_collapse_summary.py corpus loop :162-189).
 
+    Runs as an unbuffered subprocess under the same log-growth stall
+    watchdog as the figure renders: the corpus sweep blocks for hours on a
+    silently-dropped TPU tunnel if run in-process (observed 2026-08-19:
+    per-trajectory cadence 25-35 s, then an indefinite hang on one fetch),
+    and the per-trajectory MPV caches + .pt.partial chunks make a kill +
+    relaunch resume in seconds.  The 20-min stall ceiling clears the ~10-min
+    worst-case remote compile of a fresh sweep shape."""
     argv = [
         "--ews-root", str(out / "ews_results"),
         "--source-root", str(out / "dataset"),
@@ -614,7 +621,21 @@ def run_stats(out: Path, plot_checks: bool = False):
     ]
     if plot_checks:
         argv.append("--plot-checks")
-    M.main(argv)
+    cmd = [sys.executable, "-u", "-m", "upgdm_tpu.figures.mpv_collapse", *argv]
+    (out / "mpv_collapse").mkdir(parents=True, exist_ok=True)
+    logf = out / "mpv_collapse" / "corpus_sweep.log"
+    for attempt in range(attempts):
+        log("corpus sweep" + (f" (retry {attempt})" if attempt else "")
+            + f" -> {logf}")
+        code = _run_until_stalled(cmd, logf, stall_timeout)
+        if code == 0:
+            log("corpus sweep done")
+            return
+        log(f"CORPUS SWEEP FAILED (exit {code}; tail of {logf}):")
+        log(logf.read_text()[-2000:])
+        if attempt + 1 < attempts:
+            _wait_for_tpu()
+    raise RuntimeError(f"corpus sweep failed after {attempts} attempts")
 
 
 def summarize(out: Path):
