@@ -789,10 +789,6 @@ def figure_jobs(out: Path) -> list:
     slbp = ["--total-time", SLBP_TOTAL, "--d-value", SLBP_D]
     train_end = str(float(SLBP_TOTAL) / 2)
     jobs = []
-    if all((out / "ews_results/model_compare" / fam / "SIS/model_trained").exists()
-           for fam in ("NsDiff", "DiffSTG", "DiffusionTS", "TMDM")):
-        jobs.append(("upgdm_tpu.figures.fig1_model_compare",
-                     ["--trend", "increase", "--graph", "barabasi_albert_30_0"]))
     # two-trend renders, matching the reference figure CLIs' --trend contract
     # (paper_figures/common.py:24-28)
     for trend in TRENDS:
@@ -829,6 +825,16 @@ def figure_jobs(out: Path) -> list:
         jobs.append(("upgdm_tpu.figures.fig9_smoothing",
                      ["--trend", "increase", "--total-time", SLBP_TOTAL,
                       "--noises", *FIG59_D_VALUES]))
+    # fig1 LAST: its DiffusionTS/TMDM arms sweep n_z=100 per-node Langevin
+    # ensembles (the reference's own yaml infer scale) at ~15 min per
+    # 4-window chunk — hours per arm, dwarfing every NsDiff-only figure
+    # above.  The sweep checkpoints per-chunk (.partial caches), so a
+    # render cut short by end-of-round resumes instead of losing work,
+    # while the fast full-coverage figures land first.
+    if all((out / "ews_results/model_compare" / fam / "SIS/model_trained").exists()
+           for fam in ("NsDiff", "DiffSTG", "DiffusionTS", "TMDM")):
+        jobs.append(("upgdm_tpu.figures.fig1_model_compare",
+                     ["--trend", "increase", "--graph", "barabasi_albert_30_0"]))
     return jobs
 
 
