@@ -70,7 +70,7 @@ def _trailing_var(x: np.ndarray, window: int) -> np.ndarray:
     return np.maximum(mean_sq - mean * mean, 0.0)
 
 
-def oracle_mpv_for_file(data_file: Path, dynamic_type: str):
+def oracle_mpv_for_file(data_file: Path, dynamic_type: str, causal: bool = False):
     """g's true training target at the exact MPV sweep positions.
 
     Returns (time_points [n], oracle_mpv [n]).  The g target is
@@ -100,8 +100,22 @@ def oracle_mpv_for_file(data_file: Path, dynamic_type: str):
     m = (sampled.shape[0] - WINDOWS - PRED_LEN) // step + 1
     if m <= 0:
         return np.asarray([]), np.asarray([])
-    starts = WINDOWS + np.arange(m) * step
-    mpv = np.asarray([tv[s : s + PRED_LEN].mean() for s in starts])
+    if causal:
+        # Causal variant: the same statistic over the INPUT window (ending at
+        # the sweep time point) — the best a variance-martingale predictor can
+        # do from information actually available to a model.  The non-causal
+        # oracle peeks one full window (PRED_LEN steps) into the future, an
+        # advantage no model has.  Skip the replicate-padded trailing-var
+        # warm-up (positions < ROLLING_LENGTH-1 average fewer effective
+        # samples and bias the first windows' variance low, which plants a
+        # spurious global argmin at the first time point).
+        starts = np.arange(m) * step
+        mpv = np.asarray([
+            tv[max(s, ROLLING_LENGTH - 1) : s + WINDOWS].mean() for s in starts
+        ])
+    else:
+        starts = WINDOWS + np.arange(m) * step
+        mpv = np.asarray([tv[s : s + PRED_LEN].mean() for s in starts])
     n = min(len(time_points), len(mpv))
     return time_points[:n], mpv[:n]
 
@@ -110,6 +124,9 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     parser.add_argument("--source-root", type=Path, default=Path("demo_zoo/dataset"))
     parser.add_argument("--dynamics", nargs="+", default=["biomass", "neuronal", "SIS"])
+    parser.add_argument("--causal", action="store_true",
+                        help="Use the causal (input-window) oracle instead of the "
+                             "future-window one.")
     parser.add_argument("--out", type=Path, default=None)
     args = parser.parse_args()
 
@@ -122,7 +139,7 @@ def main() -> None:
             transition = locate_transition(time, state_mean, dynamic_type=dynamic_type, trend=trend)
             if not transition.get("is_transition", False):
                 continue
-            tpts, mpv = oracle_mpv_for_file(data_file, dynamic_type)
+            tpts, mpv = oracle_mpv_for_file(data_file, dynamic_type, causal=args.causal)
             if len(mpv) == 0:
                 continue
             metrics = metric_row_from_mpv(tpts, mpv, transition_time=float(transition["transition_time"]))

@@ -64,3 +64,11 @@ def test_oracle_on_synthetic_file(tmp_path):
     assert len(tpts) == len(mpv) > 10
     t_min = tpts[int(np.argmin(mpv))]
     assert 0.5 * ts[-1] < t_min < 0.75 * ts[-1]
+    # Causal variant: same argmin location (the amplitude ramp is symmetric
+    # in time), shifted at most one window later; warm-up positions must not
+    # plant a spurious minimum at the first scan point.
+    ctpts, cmpv = oracle_mpv_for_file(f, "neuronal", causal=True)
+    assert len(ctpts) == len(cmpv) == len(tpts)
+    ct_min = ctpts[int(np.argmin(cmpv))]
+    assert 0.5 * ts[-1] < ct_min < 0.85 * ts[-1]
+    assert int(np.argmin(cmpv)) != 0
