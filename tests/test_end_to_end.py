@@ -180,6 +180,47 @@ def test_run_evaluation_cache_resume(trained_model_dir, tmp_path):
     assert len(out3) == 5 and cache3.exists()
 
 
+def test_run_evaluation_cache_partial_fingerprint(trained_model_dir, tmp_path):
+    """A .partial carrying a fingerprint sidecar resumes only against the
+    SAME sweep inputs: regenerating the source corpus between runs must
+    discard the stale prefix instead of silently splicing it into the
+    cache (sidecar-less legacy partials keep resuming — covered above)."""
+    from upgdm_tpu.eval.uncertainty import (
+        _sweep_fingerprint, load_model_from_dir, run_evaluation_cache)
+    from upgdm_tpu.utils.io import save_tensor_list
+
+    model, _ = load_model_from_dir(trained_model_dir, device="cpu")
+    rng = np.random.default_rng(11)
+    wins = (rng.normal(size=(5, 1, 16, 2)) * 0.1).astype(np.float32).cumsum(axis=2)
+
+    # matching sidecar -> sentinel prefix kept verbatim
+    cache = tmp_path / "fp.pt"
+    sentinels = [np.full((1, 8, 2, 6), float(i), np.float32) for i in range(3)]
+    save_tensor_list(sentinels, cache.with_name("fp.pt.partial"))
+    fp = _sweep_fingerprint(wins, 8, 5)
+    cache.with_name("fp.pt.partial.meta").write_text(fp)
+    out = run_evaluation_cache(model, wins, 8, cache, chunk_windows=2,
+                               checkpoint_every=2)
+    for i in range(3):
+        np.testing.assert_array_equal(out[i], sentinels[i])
+    # both the partial and its sidecar are cleaned up once the cache lands
+    assert not cache.with_name("fp.pt.partial").exists()
+    assert not cache.with_name("fp.pt.partial.meta").exists()
+
+    # mismatching sidecar (corpus changed) -> stale prefix discarded
+    cache2 = tmp_path / "fp2.pt"
+    save_tensor_list(sentinels, cache2.with_name("fp2.pt.partial"))
+    cache2.with_name("fp2.pt.partial.meta").write_text("0" * 64)
+    out2 = run_evaluation_cache(model, wins, 8, cache2, chunk_windows=2,
+                                checkpoint_every=2)
+    assert len(out2) == 5
+    assert not np.array_equal(out2[0], sentinels[0])
+
+    # the fingerprint is sensitive to window values and geometry
+    assert _sweep_fingerprint(wins + 1.0, 8, 5) != fp
+    assert _sweep_fingerprint(wins, 9, 5) != fp
+
+
 def test_load_scaler_view_edges(tmp_path):
     """No checkpoint / no fitted scaler -> None (summaries stay unscaled
     rather than crashing a cache-only render)."""

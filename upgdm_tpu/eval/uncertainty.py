@@ -582,6 +582,55 @@ def bounded_chunk_windows(model, windows_array, chunk_windows):
     return max(1, min(chunk_windows, int(cap) // max(1, node)))
 
 
+def _sweep_fingerprint(windows_array, pred_len, n) -> str:
+    """Content hash binding a ``.partial`` checkpoint to its sweep inputs.
+
+    A resumed sweep silently concatenates cached and fresh ensembles; if the
+    source corpus was regenerated between runs the stale prefix would be
+    WRONG, not just slow. The hash covers the raw window values plus the
+    sweep geometry so any corpus/windowing change discards the partial."""
+    import hashlib
+
+    h = hashlib.sha256()
+    arr = np.ascontiguousarray(np.asarray(windows_array, dtype=np.float32))
+    h.update(repr((arr.shape, int(pred_len), int(n))).encode())
+    h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+def _load_partial(partial_path: Path, fingerprint: str, n: int) -> List[np.ndarray]:
+    """Resume list from a ``.partial`` if its sidecar fingerprint matches.
+
+    Legacy partials without a sidecar are accepted (pre-fingerprint format);
+    a mismatching or unreadable partial is discarded, never fatal."""
+    meta_path = partial_path.with_name(partial_path.name + ".meta")
+    try:
+        if meta_path.exists() and meta_path.read_text().strip() != fingerprint:
+            return []
+        return uio.load_tensor_list(partial_path)[:n]
+    except Exception:
+        return []
+
+
+def _flush_partial(partial_path: Path, data: List[np.ndarray], fingerprint: str,
+                   n: int) -> None:
+    """Atomic (tmp-then-rename) partial checkpoint + fingerprint sidecar."""
+    tmp = partial_path.with_name(partial_path.name + ".tmp")
+    uio.save_tensor_list(data, tmp)
+    tmp.replace(partial_path)
+    meta_path = partial_path.with_name(partial_path.name + ".meta")
+    meta_tmp = meta_path.with_name(meta_path.name + ".tmp")
+    meta_tmp.write_text(fingerprint)
+    meta_tmp.replace(meta_path)
+    print(f"[sweep] {len(data)}/{n} windows -> {partial_path.name}",
+          file=sys.stderr, flush=True)
+
+
+def _clear_partial(partial_path: Path) -> None:
+    partial_path.unlink(missing_ok=True)
+    partial_path.with_name(partial_path.name + ".meta").unlink(missing_ok=True)
+
+
 def run_evaluation_cache(
     model, windows_array, pred_len, cache_path, device=None, force_recompute=False,
     max_windows=None, chunk_windows=8, checkpoint_every=32,
@@ -602,12 +651,10 @@ def run_evaluation_cache(
     if max_windows is not None:
         n = min(n, max_windows)
     partial_path = cache_path.with_name(cache_path.name + ".partial")
+    fingerprint = _sweep_fingerprint(windows_array[:n], pred_len, n)
     pred_future_list: List[np.ndarray] = []
     if partial_path.exists() and not force_recompute:
-        try:
-            pred_future_list = uio.load_tensor_list(partial_path)[:n]
-        except Exception:
-            pred_future_list = []
+        pred_future_list = _load_partial(partial_path, fingerprint, n)
     while len(pred_future_list) < n:
         stop = min(len(pred_future_list) + max(int(checkpoint_every), 1), n)
         pred_future_list.extend(batched_window_ensemble(
@@ -615,13 +662,9 @@ def run_evaluation_cache(
             chunk_windows=chunk_windows,
         ))
         if stop < n:
-            tmp = partial_path.with_name(partial_path.name + ".tmp")
-            uio.save_tensor_list(pred_future_list, tmp)
-            tmp.replace(partial_path)
-            print(f"[sweep] {len(pred_future_list)}/{n} windows -> "
-                  f"{partial_path.name}", file=sys.stderr, flush=True)
+            _flush_partial(partial_path, pred_future_list, fingerprint, n)
     uio.save_tensor_list(pred_future_list, cache_path)
-    partial_path.unlink(missing_ok=True)
+    _clear_partial(partial_path)
     return pred_future_list
 
 
@@ -640,12 +683,10 @@ def run_diffstg_evaluation_cache(
     adj = jnp.asarray(graph.adj)
     iterable = windows_array[:max_windows] if max_windows is not None else windows_array
     partial_path = cache_path.with_name(cache_path.name + ".partial")
+    fingerprint = _sweep_fingerprint(iterable, pred_len, len(iterable))
     out: List[np.ndarray] = []
     if partial_path.exists() and not force_recompute:
-        try:
-            out = uio.load_tensor_list(partial_path)[: len(iterable)]
-        except Exception:
-            out = []
+        out = _load_partial(partial_path, fingerprint, len(iterable))
     for i in range(len(out), len(iterable)):  # [Node, W, F] per window
         x = iterable[i]
         if getattr(model, "scaler", None) is not None:
@@ -653,13 +694,9 @@ def run_diffstg_evaluation_cache(
         pred_future, _ = model.evaluation_step({"x": jnp.asarray(x), "adj": adj})
         out.append(np.asarray(pred_future)[:, -pred_len:, :, :])
         if len(out) % max(int(checkpoint_every), 1) == 0 and len(out) < len(iterable):
-            tmp = partial_path.with_name(partial_path.name + ".tmp")
-            uio.save_tensor_list(out, tmp)
-            tmp.replace(partial_path)
-            print(f"[sweep] {len(out)}/{len(iterable)} windows -> "
-                  f"{partial_path.name}", file=sys.stderr, flush=True)
+            _flush_partial(partial_path, out, fingerprint, len(iterable))
     uio.save_tensor_list(out, cache_path)
-    partial_path.unlink(missing_ok=True)
+    _clear_partial(partial_path)
     return out
 
 
