@@ -29,7 +29,11 @@ Stages (idempotent):
 ``--stage fig1`` regenerates only the paper-Fig-1 dependency chain on a
 reset tree (corpus data -> the 3 generalization NsDiffs + the 9
 model_compare family models -> the fig1 render): the SLBP trees behind
-figs 4/7/8 are skipped because those figures are already committed.
+figs 4/7/8 are skipped because those figures are already committed, and
+the corpus regeneration is restricted to the TRAINED_ON_TOPOLOGY graphs
+(the compare models then train on the barabasi_albert subset — same
+max_windows caps, documented subsampling; the fig1 render graph is BA-30).
+Run ``--stage data`` separately to fill in the full 60-graph corpus.
 
 ``--stage slbpfigs`` regenerates only the figs-5/6/9 chain (the FIG5 SLBP
 grid corpora -> NsDiff_machine/{NsDiff,preg} + NsDiff_trends -> the fig5
@@ -156,11 +160,18 @@ def stable_seed(*parts) -> int:
 # stage: data (CPU)
 # ===========================================================================
 
-def gen_data(out: Path):
+def gen_data(out: Path, fig1_only: bool = False):
+    """``fig1_only`` restricts generation to the fig1 dependency set: the
+    TRAINED_ON_TOPOLOGY corpus (training windows + the BA-30 render graph)
+    and skips the SLBP grids (figs 4-9 inputs, already rendered+committed) —
+    the SLBP sims alone are millions of Euler steps each and would delay the
+    TPU training stages by hours on a fresh machine."""
     ds = out / "dataset"
+    corpus_graphs = ([g for g in CORPUS_GRAPHS if g.startswith(TRAINED_ON_TOPOLOGY)]
+                     if fig1_only else CORPUS_GRAPHS)
     # corpus: 3 dynamics x 12 reference-library graphs x 2 trends
     for system, cfg in SYSTEMS.items():
-        for gname in CORPUS_GRAPHS:
+        for gname in corpus_graphs:
             gpath = GRAPH_LIB / f"{gname}.graphml"
             adj = None
             for trend in TRENDS:
@@ -186,6 +197,8 @@ def gen_data(out: Path):
         dst = tg / f"{gname}.graphml"
         if not dst.exists():
             shutil.copy(GRAPH_LIB / f"{gname}.graphml", dst)
+    if fig1_only:
+        return
 
     # SLBP records for the machine/window/dataset trees
     for trend in TRENDS:
@@ -998,7 +1011,7 @@ def main():
     out = args.out_dir
     out.mkdir(parents=True, exist_ok=True)
     if args.stage in ("data", "fig1", "slbpfigs", "all"):
-        gen_data(out)
+        gen_data(out, fig1_only=(args.stage == "fig1"))
     if args.stage in ("models", "fig1", "slbpfigs", "all"):
         train_models(out, args.epochs,
                      generalization_only=(args.stage == "fig1"),

@@ -631,9 +631,65 @@ def _clear_partial(partial_path: Path) -> None:
     partial_path.with_name(partial_path.name + ".meta").unlink(missing_ok=True)
 
 
+# --- MPV summary sidecars (TPU-extra; not part of the reference API) -------
+#
+# The per-window sample-ensemble `.pt` caches are gigabytes (n_z x pred x
+# node floats per window) and are gitignored as regenerable; the per-arm MPV
+# summary they reduce to is a few KB.  Writing that summary to a committable
+# `<cache>.pt.mpv.json` sidecar — updated at every partial flush and marked
+# complete at the end — makes figure renders durable across machine wipes:
+# a fresh clone re-renders from sidecars with no model checkpoint, no TPU,
+# and a half-finished multi-hour sweep resumes at the MPV level (only the
+# remaining windows are recomputed).  The fingerprint binds a sidecar to the
+# exact window values + geometry, so a regenerated corpus discards it.
+
+def _mpv_sidecar_path(cache_path: Path) -> Path:
+    cache_path = Path(cache_path)
+    return cache_path.with_name(cache_path.name + ".mpv.json")
+
+
+def _load_mpv_sidecar(cache_path) -> Optional[dict]:
+    import json
+
+    p = _mpv_sidecar_path(cache_path)
+    if not p.exists():
+        return None
+    try:
+        d = json.loads(p.read_text())
+    except Exception:
+        return None
+    if not isinstance(d, dict) or "ews" not in d or "fingerprint" not in d:
+        return None
+    return d
+
+
+def _save_mpv_sidecar(cache_path, *, fingerprint: str, n_total: int,
+                      sample_window_step, pred_mean, ews,
+                      complete: bool, extra: Optional[dict] = None) -> None:
+    import json
+
+    payload = {
+        "version": 1,
+        "fingerprint": fingerprint,
+        "n_windows_total": int(n_total),
+        "n_windows_done": len(ews),
+        "sample_window_step": (None if sample_window_step is None
+                               else int(sample_window_step)),
+        "pred_mean": [float(v) for v in pred_mean],
+        "ews": [float(v) for v in ews],
+        "complete": bool(complete),
+    }
+    if extra:
+        payload.update(extra)
+    p = _mpv_sidecar_path(cache_path)
+    tmp = p.with_name(p.name + ".tmp")
+    tmp.write_text(json.dumps(payload))
+    tmp.replace(p)
+
+
 def run_evaluation_cache(
     model, windows_array, pred_len, cache_path, device=None, force_recompute=False,
-    max_windows=None, chunk_windows=8, checkpoint_every=32,
+    max_windows=None, chunk_windows=8, checkpoint_every=32, sample_window_step=None,
 ):
     """Sweep -> `.pt` ensemble cache, with mid-sweep checkpointing.
 
@@ -663,14 +719,52 @@ def run_evaluation_cache(
         ))
         if stop < n:
             _flush_partial(partial_path, pred_future_list, fingerprint, n)
+            pm, ews = summarize_pred_future_list(pred_future_list, model=model)
+            _save_mpv_sidecar(cache_path, fingerprint=fingerprint, n_total=n,
+                              sample_window_step=sample_window_step,
+                              pred_mean=pm, ews=ews, complete=False)
     uio.save_tensor_list(pred_future_list, cache_path)
     _clear_partial(partial_path)
     return pred_future_list
 
 
+def resume_mpv_sweep(model, windows_array, pred_len, cache_path, sidecar, n,
+                     chunk_windows=8, checkpoint_every=32,
+                     sample_window_step=None):
+    """MPV-level sweep resume from a partial sidecar (TPU-extra).
+
+    The ensemble ``.pt``/``.partial`` for the done prefix is gone (machine
+    wipe between rounds) but the committed sidecar holds its per-window
+    MPVs: compute ensembles only for the remaining windows, summarize them
+    with the live model's scaler, concatenate, and keep the sidecar flushed.
+    The full ensemble cache is NOT materialized (its prefix no longer
+    exists) — the completed sidecar becomes the arm's durable artifact.
+    """
+    fingerprint = sidecar["fingerprint"]
+    pred_mean = [float(v) for v in sidecar["pred_mean"]]
+    ews = [float(v) for v in sidecar["ews"]]
+    while len(ews) < n:
+        stop = min(len(ews) + max(int(checkpoint_every), 1), n)
+        chunk = batched_window_ensemble(
+            model, windows_array[len(ews):stop], pred_len,
+            chunk_windows=chunk_windows,
+        )
+        pm_c, ews_c = summarize_pred_future_list(chunk, model=model)
+        pred_mean.extend(pm_c)
+        ews.extend(ews_c)
+        _save_mpv_sidecar(cache_path, fingerprint=fingerprint, n_total=n,
+                          sample_window_step=sample_window_step,
+                          pred_mean=pred_mean, ews=ews,
+                          complete=len(ews) >= n)
+        print(f"[sweep] {len(ews)}/{n} windows (mpv-resume) -> "
+              f"{_mpv_sidecar_path(cache_path).name}", file=sys.stderr, flush=True)
+    return pred_mean, ews
+
+
 def run_diffstg_evaluation_cache(
     model, windows_array, pred_len, graph, cache_path, device=None,
     force_recompute=False, max_windows=None, checkpoint_every=32,
+    sample_window_step=None,
 ):
     """Per-window DiffSTG sweep with the same mid-sweep checkpointing as
     :func:`run_evaluation_cache` (atomic ``<cache>.partial``, resume on
@@ -695,6 +789,12 @@ def run_diffstg_evaluation_cache(
         out.append(np.asarray(pred_future)[:, -pred_len:, :, :])
         if len(out) % max(int(checkpoint_every), 1) == 0 and len(out) < len(iterable):
             _flush_partial(partial_path, out, fingerprint, len(iterable))
+            pm, ews = summarize_pred_future_list(
+                normalize_diffstg_pred_future_list(out), model=model)
+            _save_mpv_sidecar(cache_path, fingerprint=fingerprint,
+                              n_total=len(iterable),
+                              sample_window_step=sample_window_step,
+                              pred_mean=pm, ews=ews, complete=False)
     uio.save_tensor_list(out, cache_path)
     _clear_partial(partial_path)
     return out
@@ -1340,28 +1440,63 @@ def uncertainty_ews(
     if need_gx and nsdiff_path is not None and nsdiff_path.exists() and not force_recompute:
         cached_g = uio.load_tensor_list(nsdiff_path)
 
+    # MPV summary sidecars: consulted only when the corresponding ensemble
+    # cache is absent (reference `.pt` semantics win when present); verified
+    # against the window fingerprint once windows are built below.
+    sidecar = None
+    gx_sidecar = None
+    if not force_recompute:
+        if need_sampling and cached_pred is None:
+            sidecar = _load_mpv_sidecar(cache_path)
+        if need_gx and nsdiff_path is not None and cached_g is None:
+            gx_sidecar = _load_mpv_sidecar(nsdiff_path)
+            if gx_sidecar is not None and gx_sidecar.get("pred_dim", 0) != pred_dim:
+                gx_sidecar = None
+
     if sampling_t is None:
         sampling_t = dataset_config.get("sampling_t", DEFAULT_SAMPLING_T.get(dynamic_type, 0.1))
     sampled_series, sampled_time = sample_time_series(
         np.asarray(torch_time_series), time_data, sampling_t
     )
 
+    step_from_sidecar = False
+    fallback_step = default_sample_window_step(dynamic_type, task_model, dataset_config)
     if sample_window_step is None:
-        fallback_step = default_sample_window_step(dynamic_type, task_model, dataset_config)
         cache_len = (
             len(cached_pred) if cached_pred is not None
             else (len(cached_g) if cached_g is not None else None)
         )
+        sidecar_step = next((s.get("sample_window_step")
+                             for s in (sidecar, gx_sidecar)
+                             if s is not None and s.get("sample_window_step")), None)
         if cache_len is not None:
             sample_window_step = infer_sample_window_step_from_cache(
                 sampled_series.shape[1], windows, cache_len, fallback_step
             )
+        elif sidecar_step is not None:
+            sample_window_step = int(sidecar_step)
+            step_from_sidecar = True
         else:
             sample_window_step = fallback_step
 
     windows_array, time_points = sliding_windows(
         sampled_series, sampled_time, windows, sample_window_step
     )
+    if sidecar is not None or gx_sidecar is not None:
+        n_side = (len(windows_array) if max_windows is None
+                  else min(len(windows_array), max_windows))
+        fp = _sweep_fingerprint(windows_array[:n_side], pred_len, n_side)
+        if sidecar is not None and sidecar.get("fingerprint") != fp:
+            sidecar = None
+        if gx_sidecar is not None and gx_sidecar.get("fingerprint") != fp:
+            gx_sidecar = None
+        if step_from_sidecar and sidecar is None and gx_sidecar is None:
+            # the step itself came from a stale sidecar: rebuild the windows
+            # at the normal fallback step as if no sidecar existed
+            sample_window_step = fallback_step
+            windows_array, time_points = sliding_windows(
+                sampled_series, sampled_time, windows, sample_window_step
+            )
 
     def _load_model():
         nonlocal model, loaded_net_param
@@ -1372,8 +1507,16 @@ def uncertainty_ews(
             )
         return model
 
+    mpv_from_sidecar = False
     if need_sampling:
-        if task_model == "DiffSTG":
+        if sidecar is not None and sidecar.get("complete"):
+            # cross-round durability: the ensemble cache is gone (machine
+            # wipe) but the committed sidecar carries the finished arm's MPV
+            pred_future_list = None
+            pred_mean_list = [float(v) for v in sidecar["pred_mean"]]
+            uncertainty_ews_list = [float(v) for v in sidecar["ews"]]
+            mpv_from_sidecar = True
+        elif task_model == "DiffSTG":
             if dynamic_type not in NETWORK_DYNAMICS:
                 raise ValueError("DiffSTG only supports network dynamics: SIS, neuronal, biomass.")
             if graph_file is None:
@@ -1397,6 +1540,7 @@ def uncertainty_ews(
                 pred_future_list = run_diffstg_evaluation_cache(
                     model, windows_array, pred_len, graph, cache_path, device=device,
                     force_recompute=force_recompute, max_windows=max_windows,
+                    sample_window_step=sample_window_step,
                 )
         elif cached_pred is not None:
             pred_future_list = cached_pred
@@ -1419,19 +1563,54 @@ def uncertainty_ews(
                     "model_save_file is required when cache_path does not exist or force_recompute=True."
                 )
             _load_model()
-            pred_future_list = run_evaluation_cache(
-                model, windows_array, pred_len, cache_path, device=device,
-                force_recompute=force_recompute, max_windows=max_windows,
-                chunk_windows=bounded_chunk_windows(model, windows_array,
-                                                    chunk_windows),
-                checkpoint_every=getattr(model, "eval_checkpoint_every", 32),
-            )
+            n_arm = (len(windows_array) if max_windows is None
+                     else min(len(windows_array), max_windows))
+            ens_partial = Path(cache_path).with_name(Path(cache_path).name + ".partial")
+            if (sidecar is not None and not ens_partial.exists()
+                    and 0 < int(sidecar.get("n_windows_done", 0)) < n_arm):
+                # the done prefix's ensembles are gone but its MPVs survive
+                # in the sidecar: resume the sweep at the MPV level
+                pred_mean_list, uncertainty_ews_list = resume_mpv_sweep(
+                    model, windows_array, pred_len, cache_path, sidecar, n_arm,
+                    chunk_windows=bounded_chunk_windows(model, windows_array,
+                                                        chunk_windows),
+                    checkpoint_every=getattr(model, "eval_checkpoint_every", 32),
+                    sample_window_step=sample_window_step,
+                )
+                pred_future_list = None
+                mpv_from_sidecar = True
+            else:
+                pred_future_list = run_evaluation_cache(
+                    model, windows_array, pred_len, cache_path, device=device,
+                    force_recompute=force_recompute, max_windows=max_windows,
+                    chunk_windows=bounded_chunk_windows(model, windows_array,
+                                                        chunk_windows),
+                    checkpoint_every=getattr(model, "eval_checkpoint_every", 32),
+                    sample_window_step=sample_window_step,
+                )
         if pred_future_list is not None:
             summarize_model = model
             if summarize_model is None and model_save_file is not None:
                 summarize_model = load_scaler_view(model_save_file)
             pred_mean_list, uncertainty_ews_list = summarize_pred_future_list(
                 pred_future_list, model=summarize_model
+            )
+        if not mpv_from_sidecar and cache_path is not None:
+            # durable per-arm summary (fresh compute AND `.pt` cache hits —
+            # the latter backfills committable sidecars from legacy caches)
+            n_arm = (len(windows_array) if max_windows is None
+                     else min(len(windows_array), max_windows))
+            raw_space = (pred_future_list is None  # fast path inverts on device
+                         or model is not None
+                         or (model_save_file is not None
+                             and load_scaler_view(model_save_file) is not None))
+            _save_mpv_sidecar(
+                cache_path,
+                fingerprint=_sweep_fingerprint(windows_array[:n_arm], pred_len, n_arm),
+                n_total=n_arm, sample_window_step=sample_window_step,
+                pred_mean=pred_mean_list, ews=uncertainty_ews_list,
+                complete=len(uncertainty_ews_list) >= n_arm,
+                extra={"raw_space": bool(raw_space)},
             )
     else:
         pred_future_list = None
@@ -1468,9 +1647,22 @@ def uncertainty_ews(
     )
     should_handle_g = need_gx and ("NsDiff" in str(task_model) or has_g_model)
     g_list = None
+    g_summary = None
     if should_handle_g:
         if cached_g is not None:
             g_list = cached_g
+        elif gx_sidecar is not None and gx_sidecar.get("complete"):
+            # durable gx summary from a wiped ensemble cache (sidecar doc
+            # above); g arrays themselves are gone, the MPV signal survives
+            g_summary = ([float(v) for v in gx_sidecar["pred_mean"]],
+                         [float(v) for v in gx_sidecar["ews"]])
+        elif (uncertainty_method == "sampling" and model is None
+              and model_save_file is not None
+              and not (Path(model_save_file) / "model_trained").exists()):
+            # sampling came from a sidecar/cache and no checkpoint exists:
+            # the gx side artifact is unavailable, but the render the caller
+            # asked for (sampling MPV) is not — skip gx instead of failing
+            pass
         else:
             if model is None and model_save_file is not None:
                 _load_model()
@@ -1486,6 +1678,18 @@ def uncertainty_ews(
                 )
         if g_list is not None:
             g_pred_mean, g_ews = summarize_nsdiff_g_list(g_list, pred_dim=pred_dim)
+            n_arm = (len(windows_array) if max_windows is None
+                     else min(len(windows_array), max_windows))
+            _save_mpv_sidecar(
+                nsdiff_path,
+                fingerprint=_sweep_fingerprint(windows_array[:n_arm], pred_len, n_arm),
+                n_total=n_arm, sample_window_step=sample_window_step,
+                pred_mean=g_pred_mean, ews=g_ews,
+                complete=len(g_ews) >= n_arm, extra={"pred_dim": pred_dim},
+            )
+        elif g_summary is not None:
+            g_pred_mean, g_ews = g_summary
+        if g_list is not None or g_summary is not None:
             result["nsdiff_g"] = {
                 "pred_future_list": g_list,
                 "pred_mean": g_pred_mean,
@@ -1502,7 +1706,7 @@ def uncertainty_ews(
                 result["figure_path"] = str(resolve_figure_path(nsdiff_path))
                 result["uncertainty_source"] = "gx"
 
-    if uncertainty_method == "gx" and g_list is None:
+    if uncertainty_method == "gx" and g_list is None and g_summary is None:
         raise ValueError(
             "uncertainty_method='gx' requires a task_model containing 'NsDiff' "
             "and a loaded model with cond_pred_model_g, or an existing _gx cache."
