@@ -1,5 +1,6 @@
 """Figure-layer analytics: transition location, MPV metrics, summary tables."""
 import importlib
+import json
 from pathlib import Path
 
 import numpy as np
@@ -306,3 +307,56 @@ def test_plot_fig1_smoke(tmp_path):
     png = plot_fig1(fig_data, list(FIG1_MODELS), tmp_path, "increase")
     assert png.exists() and png.stat().st_size > 10_000
     assert (tmp_path / "fig1_model_compare_increase.pdf").exists()
+
+
+def test_fig1_partial_sidecar_signal(tmp_path):
+    """`--allow-partial` fallback: an unfinished arm renders from its
+    committed `.mpv.json` sidecar alone — no checkpoint binary, no device —
+    with the time axis rebuilt by the sweep's own sampling/windowing."""
+    import yaml
+
+    from upgdm_tpu.figures.fig1_model_compare import arm_state, load_partial_signal
+    from upgdm_tpu.utils.io import save_pt
+
+    ews_root = tmp_path / "ews_results"
+    model_dir = ews_root / "model_compare" / "NsDiff" / "biomass"
+    model_dir.mkdir(parents=True)
+    (model_dir / "model_trained.yaml").write_text(yaml.safe_dump({
+        "dataset": {"windows": 16, "pred_len": 8, "sampling_t": 0.1},
+        "net": {"task_model": "NsDiff"},
+    }))
+    t = np.arange(400, dtype=np.float64) * 0.1
+    ys = np.cumsum(np.ones((400, 3), np.float32) * 0.01, axis=0)
+    data_file = tmp_path / "biomass_dynamic_eta0.005r0.7_increase.pt"
+    save_pt({"ts_dynamic": t, "ys_dynamic": ys}, data_file)
+
+    cache_path, sidecar, complete = arm_state(ews_root, "NsDiff", "biomass", data_file)
+    assert sidecar is None and not complete
+
+    n_done, step = 10, 5
+    json_path = cache_path.with_name(cache_path.name + ".mpv.json")
+    json_path.write_text(json.dumps({
+        "version": 1, "fingerprint": "x", "n_windows_total": 77,
+        "n_windows_done": n_done, "sample_window_step": step,
+        "pred_mean": list(np.linspace(1.0, 2.0, n_done)),
+        "ews": list(np.linspace(0.5, 0.6, n_done)), "complete": False,
+    }))
+    _cp, sidecar, complete = arm_state(ews_root, "NsDiff", "biomass", data_file)
+    assert sidecar is not None and not complete
+
+    sig = load_partial_signal(ews_root, tmp_path, "NsDiff", "biomass", data_file)
+    assert sig["partial"] == (n_done, 77)
+    assert len(sig["time"]) == n_done and len(sig["ews"]) == n_done
+    np.testing.assert_allclose(sig["ews"], np.linspace(0.5, 0.6, n_done))
+    assert np.all(np.diff(sig["time"]) > 0)
+    # window i ends at sampled index 15 + 5*i -> time 0.1 * that
+    np.testing.assert_allclose(sig["time"], 0.1 * (15 + step * np.arange(n_done)))
+
+    # a complete sidecar flips the arm to "no device work needed"
+    json_path.write_text(json.dumps({
+        "version": 1, "fingerprint": "x", "n_windows_total": 77,
+        "n_windows_done": 77, "sample_window_step": step,
+        "pred_mean": [1.0] * 77, "ews": [0.5] * 77, "complete": True,
+    }))
+    _cp, _sc, complete = arm_state(ews_root, "NsDiff", "biomass", data_file)
+    assert complete

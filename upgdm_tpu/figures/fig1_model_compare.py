@@ -9,11 +9,20 @@ from __future__ import annotations
 
 import argparse
 import gc
+import json
 from pathlib import Path
 
 import numpy as np
 
-from ..eval.uncertainty import uncertainty_ews
+from ..eval.uncertainty import (
+    DEFAULT_SAMPLING_T,
+    default_sample_window_step,
+    load_dynamic_data,
+    read_model_config,
+    resolve_cache_path,
+    uncertainty_ews,
+)
+from ..ops.windows import sample_time_series, sliding_windows
 from .common import (
     DATASETS,
     FIG1_MODELS,
@@ -30,7 +39,63 @@ from .common import (
     thin_for_plot,
 )
 
-__all__ = ["load_model_signal", "collect_fig1_data", "main"]
+__all__ = ["load_model_signal", "load_partial_signal", "arm_state",
+           "collect_fig1_data", "main"]
+
+
+def arm_state(ews_root, model_name, dataset_type, data_file) -> tuple:
+    """(cache_path, sidecar_dict_or_None, complete: bool) for one fig1 arm.
+
+    ``complete`` means the arm needs no device work: either the ensemble
+    ``.pt`` cache exists or its ``.mpv.json`` sidecar is marked complete.
+    """
+    model_dir = Path(ews_root) / "model_compare" / model_name / dataset_type
+    cache_path = resolve_cache_path(model_dir, model_dir, data_file, dataset_type)
+    sidecar_path = cache_path.with_name(cache_path.name + ".mpv.json")
+    sidecar = None
+    if sidecar_path.exists():
+        try:
+            sidecar = json.loads(sidecar_path.read_text())
+        except (ValueError, OSError):
+            sidecar = None
+    complete = cache_path.exists() or bool(sidecar and sidecar.get("complete"))
+    return cache_path, sidecar, complete
+
+
+def load_partial_signal(ews_root, source_root, model_name, dataset_type,
+                        data_file) -> dict:
+    """Sidecar-only signal for an UNFINISHED arm — no model, no device.
+
+    Used by ``--allow-partial`` renders near a deadline: the committed
+    ``.mpv.json`` sidecar holds the done prefix's MPVs; the time axis is
+    rebuilt with the same sampling/windowing as the sweep (so the truncated
+    curve sits at the right positions) and the signal is marked partial.
+    """
+    cache_path, sidecar, _complete = arm_state(
+        ews_root, model_name, dataset_type, data_file)
+    n_done = int(sidecar.get("n_windows_done", 0)) if sidecar else 0
+    if n_done <= 0:
+        raise FileNotFoundError(
+            f"no sweep progress for {model_name}/{dataset_type}: {cache_path}")
+    method_config = read_model_config(
+        Path(ews_root) / "model_compare" / model_name / dataset_type)
+    cfg = method_config.get("dataset", {})
+    loaded = load_dynamic_data(data_file, dynamic_type=dataset_type)
+    sampling_t = cfg.get("sampling_t", DEFAULT_SAMPLING_T.get(dataset_type, 0.1))
+    sampled_series, sampled_time = sample_time_series(
+        np.asarray(loaded["torch_time_series"]), loaded["time_data"], sampling_t)
+    step = sidecar.get("sample_window_step") or default_sample_window_step(
+        dataset_type, model_name if model_name == "DiffSTG" else None, cfg)
+    _arr, time_points = sliding_windows(
+        sampled_series, sampled_time, cfg["windows"], int(step))
+    ews = np.asarray(sidecar["ews"], float)[:n_done]
+    return {
+        "time": np.asarray(time_points)[:n_done],
+        "ews": ews,
+        "cache_path": cache_path,
+        "sample_window_step": int(step),
+        "partial": (n_done, int(sidecar.get("n_windows_total", len(time_points)))),
+    }
 
 
 def load_model_signal(ews_root, source_root, model_name, dataset_type, data_file, graph,
@@ -58,15 +123,27 @@ def load_model_signal(ews_root, source_root, model_name, dataset_type, data_file
     return signal
 
 
-def collect_fig1_data(ews_root, source_root, data_trend, graph, models, force_recompute=False):
+def collect_fig1_data(ews_root, source_root, data_trend, graph, models,
+                      force_recompute=False, allow_partial=False):
     fig_data = {}
     for dataset_type in DATASETS:
         raw = load_raw_trace(source_root, dataset_type, data_trend, graph)
-        model_signals = {
-            m: load_model_signal(ews_root, source_root, m, dataset_type,
-                                 raw["data_file"], graph, force_recompute)
-            for m in models
-        }
+        model_signals = {}
+        for m in models:
+            if allow_partial and not force_recompute:
+                _cp, _sc, complete = arm_state(ews_root, m, dataset_type,
+                                               raw["data_file"])
+                if not complete:
+                    sig = load_partial_signal(ews_root, source_root, m,
+                                              dataset_type, raw["data_file"])
+                    n, tot = sig["partial"]
+                    print(f"[fig1] {m}/{dataset_type}: PARTIAL {n}/{tot} "
+                          "windows (sidecar-only render)", flush=True)
+                    model_signals[m] = sig
+                    continue
+            model_signals[m] = load_model_signal(
+                ews_root, source_root, m, dataset_type, raw["data_file"],
+                graph, force_recompute)
         fig_data[dataset_type] = {"raw": raw, "models": model_signals}
     return fig_data
 
@@ -93,9 +170,12 @@ def plot_fig1(fig_data, models, output_dir, data_trend):
             axes[0, col].set_ylabel("State")
         for model_name, sig in data["models"].items():
             rel = relative_uncertainty(sig["ews"])
+            label = model_name
+            if sig.get("partial"):
+                label = f"{model_name} ({sig['partial'][0]}/{sig['partial'][1]})"
             axes[1, col].plot(sig["time"][: len(rel)], rel,
                               color=MODEL_COLORS.get(model_name, "#333333"),
-                              linewidth=1.1, label=model_name)
+                              linewidth=1.1, label=label)
         axes[1, col].axvline(raw["transition_time"], color=TRANSITION_COLOR,
                              linestyle="--", linewidth=0.9)
         axes[1, col].set_xlabel("Time")
@@ -117,10 +197,14 @@ def main(argv=None):
     parser.add_argument("--graph", default="barabasi_albert_30_0")
     parser.add_argument("--models", nargs="+", default=list(FIG1_MODELS))
     parser.add_argument("--force-recompute", action="store_true")
+    parser.add_argument("--allow-partial", action="store_true",
+                        help="render unfinished arms from their .mpv.json "
+                             "sidecars (truncated curve, labelled n/total) "
+                             "instead of sweeping them")
     args = parser.parse_args(argv)
     fig_data = collect_fig1_data(
         args.ews_root, args.source_root, args.trend, args.graph, tuple(args.models),
-        args.force_recompute,
+        args.force_recompute, allow_partial=args.allow_partial,
     )
     png = plot_fig1(fig_data, args.models, args.output_dir, args.trend)
     print(f"saved: {png}")
