@@ -54,13 +54,15 @@ __all__ = [
 
 
 def resolve_real_data_path(name, data_root):
-    path = Path(name)
-    if path.suffix == ".pt" and path.exists():
-        return path
-    matches = sorted(Path(data_root).rglob(f"{name}.pt"))
-    if not matches:
-        raise FileNotFoundError(f"Could not find real-data file for {name} under {data_root}")
-    return matches[0]
+    """Accept either a direct ``.pt`` path or a bare record name searched
+    recursively under ``data_root`` (first match in sorted order wins)."""
+    direct = Path(name)
+    if direct.suffix == ".pt" and direct.exists():
+        return direct
+    found = sorted(Path(data_root).rglob(f"{name}.pt"))
+    if found:
+        return found[0]
+    raise FileNotFoundError(f"no real-data record '{name}' anywhere under {data_root}")
 
 
 def data_name_from_record(record, data_path):
@@ -85,38 +87,45 @@ def get_transition_time_from_record(record):
 
 
 def ensure_min_time_points_linear_interp(record, min_sampled_points=200, sampling_interval=1):
-    """Interpolate a record when the model window needs more points
-    (real_data_analysis.py:75-115)."""
+    """Linearly upsample a record too short for one model window.
+
+    Behavioral parity: real_data_analysis.py:75-115.  Short empirical
+    records (after decimation by ``sampling_interval``) are resampled onto a
+    uniform grid dense enough that decimation still leaves
+    ``min_sampled_points``; duplicate time stamps collapse to their first
+    occurrence, the transition marker is re-anchored to the nearest new grid
+    point, and ``tp_values`` (if present) is re-zeroed at the new length.
+    Returns ``(record, was_resampled)``.
+    """
     ys = np.asarray(record["ys_dynamic"], np.float32)
+    ys = ys.reshape(len(ys), -1)
     ts = np.asarray(record["ts_dynamic"], np.float32).ravel()
-    if ys.ndim == 1:
-        ys = ys[:, None]
-    sampling_interval = max(1, int(sampling_interval))
-    if len(ts[::sampling_interval]) >= int(min_sampled_points):
-        record["ys_dynamic"] = ys
-        record["ts_dynamic"] = ts
+    decim = max(1, int(sampling_interval))
+    need = int(min_sampled_points)
+    if len(ts[::decim]) >= need:
+        record.update(ys_dynamic=ys, ts_dynamic=ts)
         return record, False
-    if len(ts) < 2:
-        raise ValueError("At least two time points are required for interpolation.")
-    order = np.argsort(ts)
-    ts_s, ys_s = ts[order], ys[order]
-    uniq, uidx = np.unique(ts_s, return_index=True)
-    ys_u = ys_s[uidx]
-    target_len = max(len(uniq), (int(min_sampled_points) - 1) * sampling_interval + 1)
-    new_ts = np.linspace(uniq[0], uniq[-1], target_len, dtype=np.float32)
-    new_ys = np.stack(
-        [np.interp(new_ts, uniq, ys_u[:, d]) for d in range(ys_u.shape[1])], axis=1
+    if ts.size < 2:
+        raise ValueError("cannot upsample a record with fewer than two time points")
+
+    # collapse duplicate stamps (keep first), then resample onto a grid with
+    # `need` points surviving the decimation
+    keep = np.argsort(ts)
+    grid_t, first = np.unique(ts[keep], return_index=True)
+    grid_y = ys[keep][first]
+    n_new = max(len(grid_t), (need - 1) * decim + 1)
+    new_ts = np.linspace(grid_t[0], grid_t[-1], n_new, dtype=np.float32)
+    new_ys = np.column_stack(
+        [np.interp(new_ts, grid_t, col) for col in grid_y.T]
     ).astype(np.float32)
-    old_transition = get_transition_time_from_record(record)
-    record["ys_dynamic"] = new_ys
-    record["ts_dynamic"] = new_ts
-    record["num_time_points"] = int(target_len)
-    if old_transition is not None:
-        idx = int(np.argmin(np.abs(new_ts - old_transition)))
-        record["transition_index"] = idx
-        record["transition_time"] = float(new_ts[idx])
+
+    marker = get_transition_time_from_record(record)
+    record.update(ys_dynamic=new_ys, ts_dynamic=new_ts, num_time_points=int(n_new))
+    if marker is not None:
+        at = int(np.abs(new_ts - marker).argmin())
+        record.update(transition_index=at, transition_time=float(new_ts[at]))
     if "tp_values" in record:
-        record["tp_values"] = np.zeros(target_len, np.float32)
+        record["tp_values"] = np.zeros(n_new, np.float32)
     return record, True
 
 
@@ -140,117 +149,152 @@ def model_cache_path(data_name, real_data_result_root):
 
 
 def parse_model_uncertainty_cache(cache_path, pred_dim):
-    """Cache parsing with the dict/list fallbacks (real_data_analysis.py:241-262)."""
+    """Read a model-uncertainty cache in any of its three historical layouts.
+
+    Layouts (behavioral parity: real_data_analysis.py:241-262): a summary
+    dict carrying explicit ``time`` + per-window values under either the
+    ``model_uncertainty`` or ``values`` key, or a raw list of per-window gx
+    tensors ``[Node, pred_len]`` (possibly nested under ``data_save_list``)
+    that still needs the horizon-mean reduction.  Returns ``(time, values)``
+    with ``time=None`` for the raw-list layouts (caller reconstructs it).
+    """
     obj = uio.load_pt(cache_path)
     if isinstance(obj, dict):
-        if "model_uncertainty" in obj and "time" in obj:
-            return np.asarray(obj["time"], float), np.asarray(obj["model_uncertainty"], float)
-        if "values" in obj and "time" in obj:
-            return np.asarray(obj["time"], float), np.asarray(obj["values"], float)
-        if "data_save_list" in obj:
-            obj = obj["data_save_list"]
-        else:
-            raise ValueError(
-                f"Unsupported model uncertainty dict keys in {cache_path}: {list(obj.keys())}"
-            )
+        value_key = next(
+            (k for k in ("model_uncertainty", "values") if k in obj and "time" in obj), None
+        )
+        if value_key is not None:
+            return np.asarray(obj["time"], float), np.asarray(obj[value_key], float)
+        obj = obj.get("data_save_list")
+        if obj is None:
+            raise ValueError(f"unrecognized model-uncertainty cache layout: {cache_path}")
     if not isinstance(obj, list):
-        raise ValueError(f"Expected list[Tensor] in {cache_path}, got {type(obj)}")
-    values = []
-    for gx in obj:
-        gx = np.asarray(gx)
-        ews = gx.mean(axis=-1)
-        if pred_dim >= len(ews):
-            raise ValueError(f"pred_dim={pred_dim} invalid for cached gx shape {gx.shape}")
-        values.append(float(ews[pred_dim]))
-    return None, np.asarray(values, float)
+        raise ValueError(f"model-uncertainty cache {cache_path} is not a tensor list")
+    per_window = [np.asarray(gx).mean(axis=-1) for gx in obj]
+    if per_window and pred_dim >= len(per_window[0]):
+        raise ValueError(
+            f"pred_dim={pred_dim} out of range for cached gx with "
+            f"{len(per_window[0])} dims in {cache_path}"
+        )
+    return None, np.asarray([float(e[pred_dim]) for e in per_window], float)
 
 
 def infer_model_times(time_data, num_values, sample_window_step=1, sampling_t=0.1, model_window=None):
-    """(real_data_analysis.py:264-283)"""
-    interval = sampling_interval_from_t(sampling_t)
-    sampled_time = np.asarray(time_data, float).ravel()[::interval]
-    if model_window is None:
-        model_window = len(sampled_time) - (int(num_values) - 1) * int(sample_window_step)
-    model_window = int(model_window)
-    if model_window < 1:
+    """Time stamp of each cached gx value (window-END convention).
+
+    Value ``i`` belongs to the rolling window ending at sampled index
+    ``w - 1 + i*step``; when ``model_window`` is unknown it is recovered from
+    the cache length (``n`` values stepping over the sampled series leave
+    exactly ``w - 1`` leading points).  Behavioral parity:
+    real_data_analysis.py:264-277.
+    """
+    step = int(sample_window_step)
+    n = int(num_values)
+    t = np.asarray(time_data, float).ravel()[:: sampling_interval_from_t(sampling_t)]
+    w = int(model_window) if model_window is not None else len(t) - (n - 1) * step
+    if w < 1:
         raise ValueError(
-            f"Cannot infer model window from sampled length={len(sampled_time)}, "
-            f"num_values={num_values}, sample_window_step={sample_window_step}."
+            f"window inference failed: {n} values with step {step} do not fit "
+            f"in {len(t)} sampled points"
         )
-    return sampled_time[model_window - 1 :: int(sample_window_step)][:num_values]
+    end_idx = w - 1 + step * np.arange(n)
+    end_idx = end_idx[end_idx < len(t)]
+    return t[end_idx]
 
 
 def run_model_uncertainty(record, data_name, cache_path, model_dir, args):
-    """gx sweep over rolling windows -> cache (real_data_analysis.py:298-348)."""
-    model_config = uio.read_model_config(model_dir)
-    windows = int(model_config["dataset"]["windows"])
-    sampling_t = float(model_config["dataset"].get("sampling_t", args.sampling_t))
-    record, interpolated = ensure_min_time_points_linear_interp(
-        record, min_sampled_points=windows,
-        sampling_interval=sampling_interval_from_t(sampling_t),
+    """Fresh gx sweep over the record's rolling windows, then cache.
+
+    TPU-first restatement of the reference's per-window torch loop
+    (behavioral parity: real_data_analysis.py:298-348): all windows are
+    gathered into one array and pushed through ``batched_gx`` as a single
+    fused batched forward.  The window/sampling geometry comes from the
+    checkpoint's own yaml; records shorter than one model window are first
+    linearly resampled up to it.
+    """
+    cfg = uio.read_model_config(model_dir)["dataset"]
+    w = int(cfg["windows"])
+    stride = int(args.sample_window_step)
+    interval = sampling_interval_from_t(float(cfg.get("sampling_t", args.sampling_t)))
+
+    record, resampled = ensure_min_time_points_linear_interp(
+        record, min_sampled_points=w, sampling_interval=interval
     )
-    if interpolated:
-        print(f"{data_name}: interpolated to {record['num_time_points']} points for "
-              f"model window={windows}")
-    model_input = prepare_model_input_series(
+    if resampled:
+        print(f"{data_name}: record resampled up to {record['num_time_points']} "
+              f"points (model needs a {w}-point window)")
+
+    # [dims, T_sampled, 1] series in the model's input layout, detrended per
+    # the CLI policy, decimated to the checkpoint's sampling interval
+    series = prepare_model_input_series(
         record["ys_dynamic"], args.model_input, args.model_detrend_method,
         args.model_detrend_span, args.model_detrend_bandwidth,
+    ).T[:, ::interval, None]
+    t_sampled = np.asarray(record["ts_dynamic"], float).ravel()[::interval]
+
+    ends = np.arange(w - 1, series.shape[1], stride)  # window-END indices
+    gather = ends[:, None] + np.arange(-(w - 1), 1)[None, :]
+    windows_array = np.ascontiguousarray(
+        series[:, gather, :].transpose(1, 0, 2, 3))  # [n_win, dims, w, 1]
+
+    model, _np_ = load_model_from_dir(
+        model_dir,
+        infer_params={"parallel_sample": args.parallel_sample,
+                      "n_z_samples": args.n_z_samples},
     )
-    series = model_input.T[:, :, None]  # [Node(dims), T, 1]
-    infer_params = {"parallel_sample": args.parallel_sample, "n_z_samples": args.n_z_samples}
-    model, _np_ = load_model_from_dir(model_dir, infer_params=infer_params)
-
-    interval = sampling_interval_from_t(sampling_t)
-    sampled = series[:, ::interval, :]
-    sampled_time = np.asarray(record["ts_dynamic"], float).ravel()[::interval]
-    n = (sampled.shape[1] - windows) // args.sample_window_step + 1
-    starts = np.arange(n) * args.sample_window_step
-    idx = starts[:, None] + np.arange(windows)[None, :]
-    windows_array = np.ascontiguousarray(sampled[:, idx, :].transpose(1, 0, 2, 3))
-    model_times = sampled_time[windows - 1 :: args.sample_window_step]
-
-    g_list = batched_gx(model, windows_array)  # list of [Node, pred_len, F]
-    data_save_list = [g[:, :, 0] if g.shape[-1] == 1 else g.squeeze(-1) for g in g_list]
-    values = [float(g.mean(axis=1)[args.pred_dim]) for g in data_save_list]
+    g_list = batched_gx(model, windows_array)  # list of [dims, pred_len, F]
+    flat = [np.asarray(g)[..., 0] if g.shape[-1] == 1 else np.asarray(g).squeeze(-1)
+            for g in g_list]
     Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
-    uio.save_tensor_list(data_save_list, cache_path)
-    return model_times[: len(values)], np.asarray(values, float)
+    uio.save_tensor_list(flat, cache_path)
+    values = np.asarray([float(g.mean(axis=1)[args.pred_dim]) for g in flat], float)
+    return t_sampled[ends][: len(values)], values
 
 
 def load_or_run_model_uncertainty(record, data_name, args):
+    """Model-uncertainty signal for one record: cache hit wins, else sweep.
+
+    A raw-list cache stores no time axis, so one is reconstructed from the
+    record's own time stamps — anchored at the checkpoint's window length
+    when a model dir is at hand, otherwise inferred from the value count.
+    """
     cache_path = model_cache_path(data_name, args.real_data_result_root)
     model_dir = Path(args.model_dir) if args.model_dir is not None else None
-    if cache_path.exists():
-        cached_time, values = parse_model_uncertainty_cache(cache_path, args.pred_dim)
-        if cached_time is None:
-            model_window = None
-            if model_dir is not None:
-                model_window = int(uio.read_model_config(model_dir)["dataset"]["windows"])
-            cached_time = infer_model_times(
-                record["ts_dynamic"], len(values),
-                sample_window_step=args.sample_window_step,
-                sampling_t=args.sampling_t, model_window=model_window,
+
+    if not cache_path.exists():
+        if model_dir is None:
+            raise FileNotFoundError(
+                f"no cached model uncertainty at {cache_path} and no "
+                "--model-dir to sweep it fresh"
             )
-        return cached_time, values, cache_path
-    if model_dir is None:
-        raise FileNotFoundError(
-            f"Missing {cache_path}. Specify --model-dir to regenerate it."
+        times, values = run_model_uncertainty(record, data_name, cache_path, model_dir, args)
+        return times, values, cache_path
+
+    times, values = parse_model_uncertainty_cache(cache_path, args.pred_dim)
+    if times is None:
+        w = (int(uio.read_model_config(model_dir)["dataset"]["windows"])
+             if model_dir is not None else None)
+        times = infer_model_times(
+            record["ts_dynamic"], len(values),
+            sample_window_step=args.sample_window_step,
+            sampling_t=args.sampling_t, model_window=w,
         )
-    times, values = run_model_uncertainty(record, data_name, cache_path, model_dir, args)
     return times, values, cache_path
 
 
 def load_bury_ml_probabilities(data_name, bury_prob_root):
-    matches = sorted(Path(bury_prob_root).rglob(f"{data_name}_bury_ml_probs.csv"))
-    if not matches:
+    """Find and validate the record's Bury-2021 classifier probability CSV."""
+    found = sorted(Path(bury_prob_root).rglob(f"{data_name}_bury_ml_probs.csv"))
+    if not found:
         raise FileNotFoundError(
-            f"Missing Bury ML probabilities for {data_name} under {bury_prob_root}"
+            f"no Bury ML probability CSV for {data_name} under {bury_prob_root}"
         )
-    df = pd.read_csv(matches[0])
-    missing = [c for c in ["time", *BURY_ML_PROB_COLUMNS] if c not in df.columns]
-    if missing:
-        raise ValueError(f"{matches[0]} misses columns {missing}")
-    return df, matches[0]
+    df = pd.read_csv(found[0])
+    wanted = ("time",) + tuple(BURY_ML_PROB_COLUMNS)
+    absent = [c for c in wanted if c not in df.columns]
+    if absent:
+        raise ValueError(f"{found[0]} lacks required columns {absent}")
+    return df, found[0]
 
 
 def append_signal_rows(rows, data_name, signal, times, values, component="value"):
@@ -261,8 +305,56 @@ def append_signal_rows(rows, data_name, signal, times, values, component="value"
         )
 
 
+CLASSIC_SIGNALS = ("ar1", "variance", "sample-entropy-1")
+
+
+def _classic_signals(record, data_name, ts, y, args):
+    """Classic rolling EWS (AR1 / variance / sample entropy) as (t, v) pairs."""
+    table = compute_classic_ews(
+        ts, y, method=args.ews_detrend_method, span=args.ews_detrend_span,
+        bandwidth=args.ews_detrend_bandwidth, rolling_window=args.rolling_window,
+    )
+    return {
+        key: (table[key].index.to_numpy(dtype=float), table[key].to_numpy(dtype=float))
+        for key in CLASSIC_SIGNALS if key in args.signals
+    }
+
+
+def _model_signals(record, data_name, ts, y, args):
+    """gx uncertainty (head-normalized) and its rolling trend slope."""
+    t, v, cache_path = load_or_run_model_uncertainty(record, data_name, args)
+    v = normalize_by_head_mean(v, head_points=args.model_normalize_head)
+    print(f"{data_name}: model uncertainty from {cache_path}")
+    return {
+        "model_uncertainty": (t, v),
+        "model_trend": compute_variance_trend(
+            t, v, trend_window=args.trend_window,
+            min_points=args.trend_min_points, normalize_time=True),
+    }
+
+
+def _bury_signals(record, data_name, ts, y, args):
+    df, path = load_bury_ml_probabilities(data_name, args.bury_prob_root)
+    print(f"{data_name}: Bury ML probabilities from {path}")
+    return {"bury_ml": df}
+
+
+#: builder groups keyed by the signal names that activate them — each runs at
+#: most once even when it serves several requested signals
+_SIGNAL_BUILDERS = (
+    (CLASSIC_SIGNALS, _classic_signals),
+    (("model_uncertainty", "model_trend"), _model_signals),
+    (("bury_ml",), _bury_signals),
+)
+
+
 def build_signal_data(record, data_name, args):
-    """All requested signals + the tidy CSV table (real_data_analysis.py:413-467)."""
+    """Every requested signal + the tidy long-format CSV table.
+
+    Behavioral parity: real_data_analysis.py:413-467 (same signal set, same
+    CSV schema: data_name/signal/component/time/value rows, trajectory
+    first), restated as a builder-group dispatch.
+    """
     ts = np.asarray(record["ts_dynamic"], float).ravel()
     ys = np.asarray(record["ys_dynamic"], np.float32)
     if ys.ndim == 1:
@@ -272,52 +364,66 @@ def build_signal_data(record, data_name, args):
     y = ys[:, args.pred_dim]
 
     signal_data = {}
+    for triggers, build in _SIGNAL_BUILDERS:
+        if any(sig in args.signals for sig in triggers):
+            signal_data.update(build(record, data_name, ts, y, args))
+
     csv_rows = []
-    classic_signals = ["ar1", "variance", "sample-entropy-1"]
-    if any(sig in args.signals for sig in classic_signals):
-        classic = compute_classic_ews(
-            ts, y, method=args.ews_detrend_method, span=args.ews_detrend_span,
-            bandwidth=args.ews_detrend_bandwidth, rolling_window=args.rolling_window,
-        )
-        for key in classic_signals:
-            if key in args.signals:
-                signal_data[key] = (
-                    classic[key].index.to_numpy(dtype=float),
-                    classic[key].to_numpy(dtype=float),
-                )
-
-    if any(sig in args.signals for sig in ["model_uncertainty", "model_trend"]):
-        model_time, model_values, cache_path = load_or_run_model_uncertainty(
-            record, data_name, args
-        )
-        model_values = normalize_by_head_mean(model_values, head_points=args.model_normalize_head)
-        signal_data["model_uncertainty"] = (model_time, model_values)
-        trend_time, trend_values = compute_variance_trend(
-            model_time, model_values, trend_window=args.trend_window,
-            min_points=args.trend_min_points, normalize_time=True,
-        )
-        signal_data["model_trend"] = (trend_time, trend_values)
-        print(f"{data_name}: model uncertainty from {cache_path}")
-
-    if "bury_ml" in args.signals:
-        bury_df, bury_path = load_bury_ml_probabilities(data_name, args.bury_prob_root)
-        signal_data["bury_ml"] = bury_df
-        print(f"{data_name}: Bury ML probabilities from {bury_path}")
-
     append_signal_rows(csv_rows, data_name, "trajectory", ts, y, component=f"dim_{args.pred_dim}")
     for signal in args.signals:
-        if signal == "bury_ml" and signal in signal_data:
+        if signal not in signal_data:
+            continue
+        if signal == "bury_ml":
             bdf = signal_data[signal]
             for col in BURY_ML_PROB_COLUMNS:
                 append_signal_rows(csv_rows, data_name, signal, bdf["time"], bdf[col], col)
-        elif signal in signal_data:
-            times, values = signal_data[signal]
-            append_signal_rows(csv_rows, data_name, signal, times, values)
+        else:
+            append_signal_rows(csv_rows, data_name, signal, *signal_data[signal])
     return ts, y, signal_data, pd.DataFrame(csv_rows)
 
 
+#: per-signal panel styling: color, linestyle ("." = dot markers), y label
+PANEL_STYLES = {
+    "model_uncertainty": ("#d62728", ".", "Model uncertainty"),
+    "model_trend": ("#1f77b4", "-.", "Uncertainty trend"),
+    "ar1": ("#d62728", "-", "AR(1)"),
+    "variance": ("#2ca02c", "-", "Variance"),
+    "sample-entropy-1": ("#9467bd", "-", "Sample Entropy"),
+}
+BURY_PANEL = {  # column -> (color, legend label)
+    "fold_prob": ("#1f77b4", "fold"), "hopf_prob": ("#ff7f0e", "Hopf"),
+    "branch_prob": ("#2ca02c", "branch"), "null_prob": ("#6c757d", "null"),
+}
+
+
+def _draw_signal_panel(ax, signal, signal_data):
+    """One stacked panel: Bury probability bundle, styled line, or a
+    'missing' placeholder when the signal was requested but never built."""
+    if signal not in signal_data:
+        ax.text(0.5, 0.5, f"missing: {signal}", transform=ax.transAxes,
+                ha="center", va="center")
+        ax.set_ylabel(signal)
+    elif signal == "bury_ml":
+        bdf = signal_data[signal]
+        for col, (color, label) in BURY_PANEL.items():
+            ax.plot(bdf["time"], bdf[col], color=color, linewidth=1.1, label=label)
+        ax.set_ylim(-0.03, 1.03)
+        ax.legend(loc="best", frameon=False, ncol=4, fontsize=8)
+        ax.set_ylabel("Bury ML")
+    else:
+        times, values = signal_data[signal]
+        color, style, label = PANEL_STYLES[signal]
+        dotted = style == "."
+        ax.plot(times, values, color=color, linewidth=1.0, markersize=3,
+                linestyle="None" if dotted else style,
+                marker="." if dotted else None)
+        ax.set_ylabel(label)
+
+
 def plot_real_data_subfigure(data_name, ts, y, signal_data, transition_time, args):
-    """Stacked panel figure (real_data_analysis.py:470-531)."""
+    """Stacked per-record panel: raw trajectory on top, one panel per
+    requested signal below, shared time axis, transition marked everywhere.
+    Behavioral parity (same layout/colors): real_data_analysis.py:470-531."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -327,54 +433,20 @@ def plot_real_data_subfigure(data_name, ts, y, signal_data, transition_time, arg
     fig, axes = plt.subplots(
         n_axes, 1, figsize=(args.fig_width, max(2.2 * n_axes, 5.5)), sharex=True
     )
-    if n_axes == 1:
-        axes = [axes]
+    axes = np.atleast_1d(axes)
     axes[0].plot(ts, y, color="#1f4e79", linewidth=1.5)
     axes[0].set_ylabel(args.trajectory_ylabel)
     axes[0].set_title(data_name)
+    for ax, signal in zip(axes[1:], args.signals):
+        _draw_signal_panel(ax, signal, signal_data)
 
-    styles = {
-        "model_uncertainty": ("#d62728", ".", "Model uncertainty"),
-        "model_trend": ("#1f77b4", "-.", "Uncertainty trend"),
-        "ar1": ("#d62728", "-", "AR(1)"),
-        "variance": ("#2ca02c", "-", "Variance"),
-        "sample-entropy-1": ("#9467bd", "-", "Sample Entropy"),
-    }
-    for axis_index, signal in enumerate(args.signals, start=1):
-        ax = axes[axis_index]
-        if signal not in signal_data:
-            ax.text(0.5, 0.5, f"missing: {signal}", transform=ax.transAxes,
-                    ha="center", va="center")
-            ax.set_ylabel(signal)
-            continue
-        if signal == "bury_ml":
-            bdf = signal_data[signal]
-            colors = {"fold_prob": "#1f77b4", "hopf_prob": "#ff7f0e",
-                      "branch_prob": "#2ca02c", "null_prob": "#6c757d"}
-            labels = {"fold_prob": "fold", "hopf_prob": "Hopf",
-                      "branch_prob": "branch", "null_prob": "null"}
-            for col in BURY_ML_PROB_COLUMNS:
-                ax.plot(bdf["time"], bdf[col], color=colors[col], linewidth=1.1,
-                        label=labels[col])
-            ax.set_ylim(-0.03, 1.03)
-            ax.legend(loc="best", frameon=False, ncol=4, fontsize=8)
-            ax.set_ylabel("Bury ML")
-        else:
-            times, values = signal_data[signal]
-            color, style, label = styles[signal]
-            ax.plot(times, values,
-                    linestyle=style if style != "." else "None",
-                    marker="." if style == "." else None,
-                    color=color, linewidth=1.0, markersize=3)
-            ax.set_ylabel(label)
-
-    if transition_time is not None:
-        for ax in axes:
-            ax.axvline(transition_time, color="black", linestyle="--", linewidth=1.0, alpha=0.75)
     for ax in axes:
+        if transition_time is not None:
+            ax.axvline(transition_time, color="black", linestyle="--",
+                       linewidth=1.0, alpha=0.75)
         ax.grid(alpha=0.18, linewidth=0.6)
-        ax.spines["top"].set_visible(False)
-        ax.spines["right"].set_visible(False)
+        for side in ("top", "right"):
+            ax.spines[side].set_visible(False)
     axes[-1].set_xlabel("Time")
     axes[-1].set_xlim(float(np.nanmin(ts)), float(np.nanmax(ts)))
     fig.tight_layout()
@@ -382,24 +454,30 @@ def plot_real_data_subfigure(data_name, ts, y, signal_data, transition_time, arg
 
 
 def run_one(data_name_or_path, args):
+    """Full per-record pipeline: load -> signals -> stacked figure + CSV.
+
+    Artifact contract (real_data_analysis.py run_one): an
+    ``<output_root>/<name>/`` folder holding ``<name>_real_data_ews.png``
+    + ``.svg`` and, unless suppressed, the long-format signals CSV.
+    """
     import matplotlib.pyplot as plt
 
-    data_path = resolve_real_data_path(data_name_or_path, args.data_root)
-    record = uio.load_pt(data_path)
-    data_name = data_name_from_record(record, data_path)
+    record = uio.load_pt(resolve_real_data_path(data_name_or_path, args.data_root))
+    data_name = data_name_from_record(record, data_name_or_path)
     ts, y, signal_data, signal_table = build_signal_data(record, data_name, args)
-    transition_time = get_transition_time_from_record(record)
-    output_dir = Path(args.output_root) / data_name
-    output_dir.mkdir(parents=True, exist_ok=True)
-    fig = plot_real_data_subfigure(data_name, ts, y, signal_data, transition_time, args)
-    png_path = output_dir / f"{data_name}_real_data_ews.png"
-    fig.savefig(png_path, dpi=args.dpi)
-    fig.savefig(output_dir / f"{data_name}_real_data_ews.svg")
+
+    out_dir = Path(args.output_root) / data_name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stem = out_dir / f"{data_name}_real_data_ews"
+    fig = plot_real_data_subfigure(
+        data_name, ts, y, signal_data, get_transition_time_from_record(record), args)
+    fig.savefig(stem.with_suffix(".png"), dpi=args.dpi)
+    fig.savefig(stem.with_suffix(".svg"))
     plt.close(fig)
     if not args.no_save_csv:
-        signal_table.to_csv(output_dir / f"{data_name}_real_data_ews_signals.csv", index=False)
-    print(f"saved: {png_path}")
-    return png_path
+        signal_table.to_csv(f"{stem}_signals.csv", index=False)
+    print(f"saved: {stem.with_suffix('.png')}")
+    return stem.with_suffix(".png")
 
 
 def default_args(**overrides) -> SimpleNamespace:
