@@ -663,17 +663,34 @@ def summarize(out: Path):
         "n_transition": int(len(done)),
         "by_dynamic": {},
     }
-    for dyn, g in done.groupby("dynamic_type"):
+    def _stats(g):
         lead = pd.to_numeric(g["lead_time"], errors="coerce").dropna()
         drop = pd.to_numeric(g["pre_transition_drop_percent"], errors="coerce").dropna()
         gdrop = pd.to_numeric(g["global_drop_percent"], errors="coerce").dropna()
-        res["by_dynamic"][dyn] = {
+        return {
             "n": int(len(g)),
             "lead_time_positive_frac": float((lead > 0).mean()) if len(lead) else None,
             "lead_time_median": float(lead.median()) if len(lead) else None,
             "pre_transition_drop_percent_median": float(drop.median()) if len(drop) else None,
             "global_drop_percent_median": float(gdrop.median()) if len(gdrop) else None,
         }
+
+    for dyn, g in done.groupby("dynamic_type"):
+        res["by_dynamic"][dyn] = _stats(g)
+    # per-trend resolution so a headline per-dynamics row can never silently
+    # lean on one trend (SIS/increase transitions fall before the first MPV
+    # point and are skipped — see mpv_collapse/SIS_INCREASE_LOCATOR_NOTE.md);
+    # skipped-file counts per cell make the lean visible
+    res["by_dynamic_trend"] = {}
+    for (dyn, trend), g_all in df.groupby(["dynamic_type", "trend"]):
+        g_ok = g_all[g_all["is_transition"] == True]  # noqa: E712
+        cell = _stats(g_ok)
+        cell["n_files"] = int(len(g_all))
+        skips = (g_all.loc[g_all["is_transition"] != True, "skip_reason"]  # noqa: E712
+                 .fillna("").astype(str).value_counts().to_dict())
+        cell["n_skipped_by_reason"] = {k or "(unspecified)": int(v)
+                                       for k, v in skips.items()}
+        res["by_dynamic_trend"][f"{dyn}/{trend}"] = cell
     lead_all = pd.to_numeric(done["lead_time"], errors="coerce").dropna()
     res["lead_time_positive_frac_overall"] = (
         float((lead_all > 0).mean()) if len(lead_all) else None
