@@ -78,3 +78,22 @@ def test_corpus_summary_by_dynamic_trend():
     assert cells["SIS/decrease"]["n"] == 60
     # the note explaining the asymmetry ships beside the summary
     assert (REPO / "demo_zoo/mpv_collapse/SIS_INCREASE_LOCATOR_NOTE.md").exists()
+
+
+def test_train_bench_regression_gate():
+    """bench_train emits regression:true below the floor and exits 2 via
+    main(); the gate itself is pure and testable without a device."""
+    import bench_train as bt
+
+    ok = bt.bench_result(2300.0, 7.6)
+    assert ok["regression"] is False
+    assert ok["unit"] == "samples/sec"
+    assert ok["vs_baseline"] == round(2300.0 / 7.6, 2)
+
+    bad = bt.bench_result(1500.0, 7.6)
+    assert bad["regression"] is True
+
+    # missing CPU baseline file must not mask the gate
+    nan_base = bt.bench_result(2300.0, float("nan"))
+    assert nan_base["regression"] is False and nan_base["vs_baseline"] is None
+    assert bt.bench_result(1.0, float("nan"))["regression"] is True
