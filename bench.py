@@ -252,7 +252,8 @@ def _evict_known_zoo_run(pidfile: str = "/tmp/zoo_all.pid") -> bool:
             cmdline = fh.read().decode(errors="replace")
     except (OSError, ValueError):
         return False
-    if "reference_zoo.py" not in cmdline:
+    ours = ("reference_zoo.py", "run_fig1_round5.sh", "fig1_arm_driver.py")
+    if not any(name in cmdline for name in ours):
         return False
     victims = _proc_tree(pid)
     print(f"# evicting zoo run {pid} (tree {victims}) to free the TPU grant "

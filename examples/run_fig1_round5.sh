@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-5 fig1 arm queue: cheapest arms first so every completed arm is
+# durable before the expensive DiffusionTS ones start.  Retries each batch
+# (tunnel drops / stale-grant stalls); the arm driver skips complete arms,
+# so retries only re-pay model loading.  Usage:
+#   bash examples/run_fig1_round5.sh <batch>   # batch: cheap|dts_sis|dts_neuronal
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+
+case "$1" in
+  cheap)       ARMS="NsDiff:SIS DiffSTG:SIS TMDM:SIS TMDM:neuronal";;
+  dts_sis)     ARMS="DiffusionTS:SIS";;
+  dts_neuronal) ARMS="DiffusionTS:neuronal";;
+  *) echo "unknown batch: $1" >&2; exit 1;;
+esac
+
+LOG=/tmp/fig1_r5_$1.log
+for attempt in $(seq 1 20); do
+  echo "=== attempt $attempt ($(date -u +%H:%M:%S)) arms: $ARMS" >> "$LOG"
+  python examples/fig1_arm_driver.py --arms $ARMS >> "$LOG" 2>&1
+  code=$?
+  if [ "$code" -eq 0 ]; then
+    echo "=== batch $1 complete ($(date -u +%H:%M:%S))" >> "$LOG"
+    exit 0
+  fi
+  echo "=== attempt $attempt failed (exit $code); retrying in 120s" >> "$LOG"
+  sleep 120
+done
+echo "=== batch $1 FAILED after 20 attempts" >> "$LOG"
+exit 1
