@@ -16,10 +16,23 @@ case "$1" in
 esac
 
 LOG=/tmp/fig1_r5_$1.log
+STALL=${STALL_TIMEOUT:-1500}  # kill+retry if the log stops growing (dead tunnel fetch)
 for attempt in $(seq 1 20); do
   echo "=== attempt $attempt ($(date -u +%H:%M:%S)) arms: $ARMS" >> "$LOG"
-  python examples/fig1_arm_driver.py --arms $ARMS >> "$LOG" 2>&1
-  code=$?
+  python examples/fig1_arm_driver.py --arms $ARMS >> "$LOG" 2>&1 &
+  PY=$!
+  last_size=$(stat -c %s "$LOG"); last_t=$(date +%s)
+  while kill -0 "$PY" 2>/dev/null; do
+    sleep 60
+    size=$(stat -c %s "$LOG")
+    if [ "$size" != "$last_size" ]; then last_size=$size; last_t=$(date +%s); fi
+    if [ $(( $(date +%s) - last_t )) -gt "$STALL" ]; then
+      echo "=== attempt $attempt stalled (no log growth ${STALL}s); killing $PY" >> "$LOG"
+      kill "$PY" 2>/dev/null; sleep 5; kill -9 "$PY" 2>/dev/null
+      break
+    fi
+  done
+  wait "$PY"; code=$?
   if [ "$code" -eq 0 ]; then
     echo "=== batch $1 complete ($(date -u +%H:%M:%S))" >> "$LOG"
     exit 0
