@@ -97,14 +97,14 @@ SYSTEMS = {
                     base_params={"r": 0.7, "k": 10.0, "d": 0.05}, eta=0.005,
                     total_time=3000.0, burn_time=100.0, sampling_t=10,
                     dt=0.1, save_every=1),
-    # mu MUST be 1.5 (spdata_sde_neuronal_dynamic_gene.py:271 base_params):
+    # mu MUST be 1.5 (spdata_sde_neuronal_dynamic_gene.py:268 base_params):
     # at mu=3.0 the sigmoid coupling is dead (sigmoid(2*(x-3))~0.02 near the
     # low state), the high-activity branch is never reached and NO transition
     # exists — trajectories are flat noise and MPV collapse has nothing to
     # detect (round-3's "honest row" neuronal weakness was exactly this).
     # With mu=1.5 both trends tip hard: increase 5.26->0 at eps~0.57,
     # decrease 0->5.26 at eps~0.45 (verified by simulation, round 4).
-    # total_time MUST stay at the reference's 10000 (:275): the w100+p100
+    # total_time MUST stay at the reference's 10000 (:273): the w100+p100
     # analysis window spans 2000 time units, so a 3000-unit trajectory has
     # almost no pre-transition MPV points (decrease tips at t~300-1650 and
     # the first MPV point sits at t=990 — 50/120 files skipped, leads a

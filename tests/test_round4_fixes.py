@@ -39,7 +39,7 @@ def test_probe_timeouts_cover_cold_start():
 
 def test_neuronal_params_match_reference_generator():
     """Zoo + CLI neuronal physics must match the reference generator
-    (spdata_sde_neuronal_dynamic_gene.py:268-271: tau 2.0 grid head, mu=1.5,
+    (spdata_sde_neuronal_dynamic_gene.py:268-273: tau 2.0 grid head, mu=1.5,
     eta 1e-2): mu=3.0 kills the bistability — sigmoid coupling never ignites,
     no transition exists, and MPV collapse has nothing to detect (the
     round-3 neuronal weakness)."""

@@ -38,7 +38,7 @@ _SYSTEM_DEFAULTS = {
     # authoritative anyway.  d=0.05 (the committed-corpus value) stays.
     "SIS": dict(control_range=(1e-4, 0.5), base_params={"d": 0.5}, eta=1e-4),
     "biomass": dict(control_range=(0.0, 4.0), base_params={"r": 0.7, "k": 10.0, "d": 0.05}, eta=0.005),
-    # mu=1.5 per spdata_sde_neuronal_dynamic_gene.py:271 — mu=3.0 kills the
+    # mu=1.5 per spdata_sde_neuronal_dynamic_gene.py:268 — mu=3.0 kills the
     # bistability (no transition; see examples/reference_zoo.py SYSTEMS)
     "neuronal": dict(control_range=(0.0, 1.0), base_params={"tau": 2.0, "mu": 1.5}, eta=0.01),
 }

@@ -68,7 +68,7 @@ def neuronal_drift(y, eps, adj, tau=2.0, mu=1.5):
     """Wilson–Cowan-style networked neuronal dynamics.
 
     Defaults match the reference generator's fixed parameters
-    (spdata_sde_neuronal_dynamic_gene.py:268-271: tau grid head 2.0,
+    (spdata_sde_neuronal_dynamic_gene.py:268-273: tau grid head 2.0,
     mu=1.5).  mu=1.5 is load-bearing: it places the sigmoid threshold low
     enough that the coupled high-activity branch exists, so ramping eps
     0->1 destabilizes it and the system tips; at mu=3.0 the coupling never
