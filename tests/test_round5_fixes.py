@@ -97,3 +97,30 @@ def test_train_bench_regression_gate():
     nan_base = bt.bench_result(2300.0, float("nan"))
     assert nan_base["regression"] is False and nan_base["vs_baseline"] is None
     assert bt.bench_result(1.0, float("nan"))["regression"] is True
+
+
+def test_fig1_arm_driver_skips_complete_arms(tmp_path, capsys, monkeypatch):
+    """The round-5 arm driver must skip arms whose sidecar says complete —
+    a retry after a tunnel kill costs a skip, not a re-sweep."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "fig1_arm_driver", REPO / "examples/fig1_arm_driver.py")
+    drv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(drv)
+
+    ews = tmp_path / "ews_results"
+    arm_dir = ews / "model_compare" / "TMDM" / "SIS"
+    arm_dir.mkdir(parents=True)
+    name = "SIS_dynamic_eta0.0001d0.5_increase.pt"
+    (arm_dir / f"{name}.mpv.json").write_text(json.dumps(
+        {"complete": True, "n_windows_done": 7, "n_windows_total": 7,
+         "fingerprint": "x", "pred_mean": [1.0] * 7, "ews": [1.0] * 7}))
+    assert drv.arm_complete(ews, "TMDM", "SIS", "increase") is True
+    assert drv.arm_complete(ews, "TMDM", "neuronal", "increase") is False
+
+    # a complete arm must not touch the model/data at all
+    drv.main(["--ews-root", str(ews), "--source-root", str(tmp_path),
+              "--arms", "TMDM:SIS"])
+    out = capsys.readouterr().out
+    assert "already complete, skipping" in out and "all requested arms complete" in out
