@@ -352,7 +352,9 @@ def test_fig1_partial_sidecar_signal(tmp_path):
     # window i ends at sampled index 15 + 5*i -> time 0.1 * that
     np.testing.assert_allclose(sig["time"], 0.1 * (15 + step * np.arange(n_done)))
 
-    # a complete sidecar flips the arm to "no device work needed"
+    # a complete sidecar flips the arm to "no device work needed" and renders
+    # the FULL curve device-free with no partial tag (trusted even when its
+    # fingerprint lags a regenerated corpus — see load_partial_signal)
     json_path.write_text(json.dumps({
         "version": 1, "fingerprint": "x", "n_windows_total": 77,
         "n_windows_done": 77, "sample_window_step": step,
@@ -360,3 +362,6 @@ def test_fig1_partial_sidecar_signal(tmp_path):
     }))
     _cp, _sc, complete = arm_state(ews_root, "NsDiff", "biomass", data_file)
     assert complete
+    sig = load_partial_signal(ews_root, tmp_path, "NsDiff", "biomass", data_file)
+    assert "partial" not in sig
+    assert len(sig["ews"]) == 77 and len(sig["time"]) == 77

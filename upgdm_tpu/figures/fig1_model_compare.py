@@ -64,12 +64,18 @@ def arm_state(ews_root, model_name, dataset_type, data_file) -> tuple:
 
 def load_partial_signal(ews_root, source_root, model_name, dataset_type,
                         data_file) -> dict:
-    """Sidecar-only signal for an UNFINISHED arm — no model, no device.
+    """Sidecar-only signal for an arm — no model, no device.
 
-    Used by ``--allow-partial`` renders near a deadline: the committed
-    ``.mpv.json`` sidecar holds the done prefix's MPVs; the time axis is
-    rebuilt with the same sampling/windowing as the sweep (so the truncated
-    curve sits at the right positions) and the signal is marked partial.
+    Used by ``--allow-partial`` renders: the committed ``.mpv.json`` sidecar
+    holds the swept MPVs; the time axis is rebuilt with the same sampling/
+    windowing as the sweep and the signal is marked partial only when the
+    sidecar is a truncated prefix.  Unlike the sweep's resume path this does
+    NOT gate on the window fingerprint: SDE corpus regeneration is not
+    bit-reproducible across host CPUs (XLA:CPU reduction order differs with
+    core count and ISA, and the chaotic dynamics amplify last-ulp
+    differences into a different noise realization), so on a fresh machine
+    the committed sidecar is the measurement of record even though its
+    fingerprint no longer matches the locally regenerated corpus.
     """
     cache_path, sidecar, _complete = arm_state(
         ews_root, model_name, dataset_type, data_file)
@@ -89,13 +95,16 @@ def load_partial_signal(ews_root, source_root, model_name, dataset_type,
     _arr, time_points = sliding_windows(
         sampled_series, sampled_time, cfg["windows"], int(step))
     ews = np.asarray(sidecar["ews"], float)[:n_done]
-    return {
+    n_total = int(sidecar.get("n_windows_total", len(time_points)))
+    sig = {
         "time": np.asarray(time_points)[:n_done],
         "ews": ews,
         "cache_path": cache_path,
         "sample_window_step": int(step),
-        "partial": (n_done, int(sidecar.get("n_windows_total", len(time_points)))),
     }
+    if n_done < n_total:
+        sig["partial"] = (n_done, n_total)
+    return sig
 
 
 def load_model_signal(ews_root, source_root, model_name, dataset_type, data_file, graph,
@@ -131,14 +140,22 @@ def collect_fig1_data(ews_root, source_root, data_trend, graph, models,
         model_signals = {}
         for m in models:
             if allow_partial and not force_recompute:
-                _cp, _sc, complete = arm_state(ews_root, m, dataset_type,
-                                               raw["data_file"])
-                if not complete:
+                cp, sc, _complete = arm_state(ews_root, m, dataset_type,
+                                              raw["data_file"])
+                # reference `.pt` ensemble cache wins when present; without
+                # it, ANY sidecar progress renders device-free — including
+                # complete arms (their fingerprint may lag a regenerated
+                # corpus, see load_partial_signal)
+                if not cp.exists() and sc and int(sc.get("n_windows_done", 0)) > 0:
                     sig = load_partial_signal(ews_root, source_root, m,
                                               dataset_type, raw["data_file"])
-                    n, tot = sig["partial"]
-                    print(f"[fig1] {m}/{dataset_type}: PARTIAL {n}/{tot} "
-                          "windows (sidecar-only render)", flush=True)
+                    if sig.get("partial"):
+                        n, tot = sig["partial"]
+                        print(f"[fig1] {m}/{dataset_type}: PARTIAL {n}/{tot} "
+                              "windows (sidecar-only render)", flush=True)
+                    else:
+                        print(f"[fig1] {m}/{dataset_type}: complete sidecar "
+                              "render (no device)", flush=True)
                     model_signals[m] = sig
                     continue
             model_signals[m] = load_model_signal(
