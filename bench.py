@@ -252,7 +252,9 @@ def _evict_known_zoo_run(pidfile: str = "/tmp/zoo_all.pid") -> bool:
             cmdline = fh.read().decode(errors="replace")
     except (OSError, ValueError):
         return False
-    ours = ("reference_zoo.py", "run_fig1_round5.sh", "fig1_arm_driver.py")
+    ours = ("reference_zoo.py", "run_fig1_round5.sh", "fig1_arm_driver.py",
+            "run_fig9_round5.py", "fig9_watchdog.sh",
+            "run_dts_neuronal_round5.py", "run_seed_study_round5.py")
     if not any(name in cmdline for name in ours):
         return False
     victims = _proc_tree(pid)

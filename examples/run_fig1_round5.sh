@@ -7,6 +7,7 @@
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+echo $$ > /tmp/zoo_all.pid  # bench.py round-end eviction reads this pidfile
 
 case "$1" in
   cheap)       ARMS="NsDiff:SIS DiffSTG:SIS TMDM:SIS TMDM:neuronal";;
